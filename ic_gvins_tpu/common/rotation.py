@@ -130,13 +130,15 @@ def rotvec_to_quat(rv: jax.Array) -> jax.Array:
 
     Matches the reference exp map (``rotation.h:72-76``) with a Taylor guard.
     """
-    angle = jnp.linalg.norm(rv, axis=-1, keepdims=True)
-    half = 0.5 * angle
-    small = angle < _SMALL_ANGLE
-    # sin(half)/angle, guarded: -> 0.5 - angle^2/48 as angle -> 0
-    safe_angle = jnp.where(small, jnp.ones_like(angle), angle)
-    k = jnp.where(small, 0.5 - angle * angle / 48.0, jnp.sin(half) / safe_angle)
-    w = jnp.cos(half)
+    # Guard with the squared norm so gradients stay finite at rv == 0
+    # (norm itself has a NaN gradient at zero that would leak through where).
+    sq = jnp.sum(rv * rv, axis=-1, keepdims=True)
+    small = sq < _SMALL_ANGLE**2
+    safe_sq = jnp.where(small, jnp.ones_like(sq), sq)
+    angle = jnp.sqrt(safe_sq)
+    # sin(angle/2)/angle -> 1/2 - angle^2/48 ;  cos(angle/2) -> 1 - angle^2/8
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(0.5 * angle) / angle)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(0.5 * angle))
     return jnp.concatenate([w, k * rv], axis=-1)
 
 

@@ -39,9 +39,18 @@ def test_matrix_quat_roundtrip():
 
 
 def test_rotvec_roundtrip_and_small_angle():
-    rv = jax.random.normal(jax.random.PRNGKey(5), (16, 3)) * 2.0
+    # log returns the principal rotation, so only |rv| < pi roundtrips exactly
+    raw = jax.random.normal(jax.random.PRNGKey(5), (16, 3))
+    rv = raw / jnp.linalg.norm(raw, axis=-1, keepdims=True) * 3.1
+    rv = rv * jax.random.uniform(jax.random.PRNGKey(15), (16, 1))
     rv2 = rot.quat_to_rotvec(rot.rotvec_to_quat(rv))
     np.testing.assert_allclose(rv, rv2, atol=1e-10)
+    # beyond pi the rotations must still agree
+    big = raw * 2.0
+    q1 = rot.rotvec_to_quat(big)
+    q2 = rot.rotvec_to_quat(rot.quat_to_rotvec(q1))
+    sign = jnp.sign(jnp.sum(q1 * q2, axis=-1, keepdims=True))
+    np.testing.assert_allclose(q1, sign * q2, atol=1e-10)
 
     tiny = jnp.array([[1e-12, -2e-13, 3e-12], [0.0, 0.0, 0.0]])
     q = rot.rotvec_to_quat(tiny)
