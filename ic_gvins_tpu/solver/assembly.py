@@ -1,0 +1,356 @@
+"""Normal-equation assembly: vmapped autodiff factor blocks -> H, g.
+
+Replaces Ceres problem construction + Jacobian evaluation
+(``ic_gvins.cc:1164-1273`` with the factor classes of §2.3/§2.4) by:
+
+* evaluating every factor's whitened residual as a pure function of the
+  small local delta of the parameters it touches,
+* getting the exact Jacobian blocks with ``jax.jacfwd`` at delta = 0
+  (vmapped over all factors of a class at once),
+* scatter-adding the weighted blocks into the dense normal equations
+  ``H dx = -g`` over the fixed window layout (see ``window.py``).
+
+Robustification is IRLS: Huber weight ``rho'(chi2)`` scales each factor's
+(H, g) contribution; the robust cost ``0.5 * sum(rho(chi2))`` drives the
+LM accept/reject logic — mirroring Ceres' corrector semantics for
+HuberLoss(1.0).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.types import IntegrationParams, NavState
+from ..factors.manifold import node_boxplus, pose_boxplus
+from ..factors.residuals import (
+    bias_soft_residual,
+    gnss_residual,
+    reprojection_residual,
+)
+from ..ins.preintegration import preint_residual, sqrt_information
+from .window import EXT_DOF, NODE_DOF, Prior, SolverConfig, Window
+
+
+class RobustFlags(NamedTuple):
+    gnss_kernel: jax.Array  # () bool
+    reproj_kernel: jax.Array  # () bool
+
+
+def huber_rho(s):
+    return jnp.where(s <= 1.0, s, 2.0 * jnp.sqrt(jnp.maximum(s, 1.0)) - 1.0)
+
+
+def huber_weight(s):
+    return jnp.minimum(1.0, 1.0 / jnp.sqrt(jnp.maximum(s, 1e-30)))
+
+
+def _node(window: Window, i) -> NavState:
+    return jax.tree.map(lambda x: x[i], window.nodes)
+
+
+def _preint_i(window: Window, i):
+    return jax.tree.map(lambda x: x[i], window.preint)
+
+
+# ---------------------------------------------------------------------------
+# Per-factor residual functions of their local deltas (delta = 0 at estimate)
+# ---------------------------------------------------------------------------
+
+
+def _preint_res(window: Window, params: IntegrationParams, i, delta30):
+    s0 = node_boxplus(_node(window, i), delta30[:NODE_DOF])
+    s1 = node_boxplus(_node(window, i + 1), delta30[NODE_DOF:])
+    pre = _preint_i(window, i)
+    r = preint_residual(pre, s0, s1, params, whiten=False)
+    sqrt_info = sqrt_information(pre.cov)
+    return sqrt_info @ r
+
+
+def _gnss_res(window: Window, cfg: SolverConfig, k, delta6):
+    node = _node(window, k)
+    p, q = pose_boxplus(node.p, node.q, delta6)
+    std = jnp.maximum(window.gnss_std[k], 1e-6)
+    return gnss_residual(p, q, cfg.antlever, window.gnss_p[k], std)
+
+
+def _reproj_res(window: Window, cfg: SolverConfig, l, k, delta20):
+    """delta20 = [ref pose 6 | obs pose 6 | ext 6 | td 1 | invdepth 1]."""
+    ref = window.lm_ref[l]
+    nref = _node(window, ref)
+    nobs = _node(window, k)
+    p0, q0 = pose_boxplus(nref.p, nref.q, delta20[0:6])
+    p1, q1 = pose_boxplus(nobs.p, nobs.q, delta20[6:12])
+    tic, qic = pose_boxplus(window.ext_p, window.ext_q, delta20[12:18])
+    td = window.td + delta20[18]
+    invd = window.lm_invdepth[l] + delta20[19]
+    invd = jnp.where(jnp.abs(invd) < 1e-4, 1e-4, invd)  # guard division
+    return reprojection_residual(
+        p0, q0, p1, q1, tic, qic, invd, td,
+        window.obs_uv[l, ref], window.obs_uv[l, k],
+        window.obs_vel[l, ref], window.obs_vel[l, k],
+        window.frame_td[ref], window.frame_td[k],
+        cfg.reproj_std,
+    )
+
+
+def _bias_res(window: Window, cfg: SolverConfig, k, delta15):
+    node = node_boxplus(_node(window, k), delta15)
+    return bias_soft_residual(
+        node.bg, node.ba, cfg.bias_prior_bg_std, cfg.bias_prior_ba_std
+    )
+
+
+# ---------------------------------------------------------------------------
+# Masks and batched residual/Jacobian evaluation
+# ---------------------------------------------------------------------------
+
+
+def preint_mask(window: Window):
+    return (
+        window.preint_valid
+        & window.node_valid[:-1]
+        & window.node_valid[1:]
+    )
+
+
+def gnss_mask(window: Window):
+    return window.gnss_valid & window.node_valid
+
+
+def obs_mask(window: Window):
+    """[L, N] reprojection factor mask: valid obs in a valid keyframe node,
+    valid landmark, anchored at a *different* valid keyframe node."""
+    L, N = window.obs_valid.shape
+    ref_valid = window.node_valid[window.lm_ref] & window.node_is_kf[window.lm_ref]
+    k_idx = jnp.arange(N)[None, :]
+    not_ref = k_idx != window.lm_ref[:, None]
+    return (
+        window.obs_valid
+        & window.lm_valid[:, None]
+        & ref_valid[:, None]
+        & (window.node_valid & window.node_is_kf)[None, :]
+        & not_ref
+    )
+
+
+def newest_node_index(window: Window):
+    N = window.n_nodes
+    return N - 1 - jnp.argmax(jnp.flip(window.node_valid))
+
+
+def eval_preint(window: Window, params: IntegrationParams):
+    """Residuals [N-1,15] and Jacobians [N-1,15,30], masked."""
+    N = window.n_nodes
+    idx = jnp.arange(N - 1)
+    z = jnp.zeros(2 * NODE_DOF, window.nodes.p.dtype)
+
+    def one(i):
+        fn = partial(_preint_res, window, params, i)
+        return fn(z), jax.jacfwd(fn)(z)
+
+    r, J = jax.vmap(one)(idx)
+    m = preint_mask(window).astype(r.dtype)
+    return r * m[:, None], J * m[:, None, None]
+
+
+def eval_gnss(window: Window, cfg: SolverConfig):
+    N = window.n_nodes
+    idx = jnp.arange(N)
+    z = jnp.zeros(6, window.nodes.p.dtype)
+
+    def one(k):
+        fn = partial(_gnss_res, window, cfg, k)
+        return fn(z), jax.jacfwd(fn)(z)
+
+    r, J = jax.vmap(one)(idx)
+    m = gnss_mask(window).astype(r.dtype)
+    return r * m[:, None], J * m[:, None, None]
+
+
+def eval_reproj(window: Window, cfg: SolverConfig):
+    """Residuals [L,N,2], Jacobians [L,N,2,20], masked."""
+    L, N = window.obs_valid.shape
+    z = jnp.zeros(20, window.nodes.p.dtype)
+
+    def one(l, k):
+        fn = partial(_reproj_res, window, cfg, l, k)
+        return fn(z), jax.jacfwd(fn)(z)
+
+    r, J = jax.vmap(jax.vmap(one, in_axes=(None, 0)), in_axes=(0, None))(
+        jnp.arange(L), jnp.arange(N)
+    )
+    m = obs_mask(window).astype(r.dtype)
+    return r * m[..., None], J * m[..., None, None]
+
+
+def eval_bias_prior(window: Window, cfg: SolverConfig):
+    k = newest_node_index(window)
+    z = jnp.zeros(NODE_DOF, window.nodes.p.dtype)
+    fn = partial(_bias_res, window, cfg, k)
+    r, J = fn(z), jax.jacfwd(fn)(z)
+    m = jnp.any(window.node_valid).astype(r.dtype)
+    return r * m, J * m, k
+
+
+def eval_prior(window: Window, prior: Prior):
+    """Marginalization prior residual r = e + J dx and its (constant) J."""
+    from .window import state_boxminus
+
+    dx = state_boxminus(window, prior)
+    return prior.e + prior.J @ dx, prior.J
+
+
+# ---------------------------------------------------------------------------
+# Cost / assembly
+# ---------------------------------------------------------------------------
+
+
+def robust_cost(
+    window: Window,
+    prior: Prior,
+    cfg: SolverConfig,
+    params: IntegrationParams,
+    flags: RobustFlags,
+):
+    """Total robust cost 0.5 * sum(rho(chi2)) over all factors."""
+    r_pre, _ = eval_preint(window, params)
+    r_g, _ = eval_gnss(window, cfg)
+    r_v, _ = eval_reproj(window, cfg)
+    r_b, _, _ = eval_bias_prior(window, cfg)
+    r_p, _ = eval_prior(window, prior)
+
+    chi_g = jnp.sum(r_g**2, axis=-1)
+    chi_v = jnp.sum(r_v**2, axis=-1)
+    cost = 0.5 * (
+        jnp.sum(r_pre**2)
+        + jnp.sum(jnp.where(flags.gnss_kernel, huber_rho(chi_g), chi_g))
+        + jnp.sum(jnp.where(flags.reproj_kernel, huber_rho(chi_v), chi_v))
+        + jnp.sum(r_b**2)
+        + jnp.sum(r_p**2)
+    )
+    return cost
+
+
+def assemble(
+    window: Window,
+    prior: Prior,
+    cfg: SolverConfig,
+    params: IntegrationParams,
+    flags: RobustFlags,
+):
+    """Build H [D,D], g [D] (H dx = -g) and the robust cost at the estimate."""
+    N, L = window.n_nodes, window.n_landmarks
+    DX = window.dim_x
+    D = window.dim_total
+    dtype = window.nodes.p.dtype
+
+    H = jnp.zeros((D, D), dtype)
+    g = jnp.zeros(D, dtype)
+
+    node_cols = (jnp.arange(N)[:, None] * NODE_DOF + jnp.arange(NODE_DOF)[None, :])
+    ext_cols = N * NODE_DOF + jnp.arange(6)
+    td_col = N * NODE_DOF + 6
+
+    # --- preintegration factors ---
+    r_pre, J_pre = eval_preint(window, params)
+    cols_pre = jnp.concatenate([node_cols[:-1], node_cols[1:]], axis=1)  # [N-1,30]
+    H = H.at[cols_pre[:, :, None], cols_pre[:, None, :]].add(
+        jnp.einsum("frc,frd->fcd", J_pre, J_pre)
+    )
+    g = g.at[cols_pre].add(jnp.einsum("frc,fr->fc", J_pre, r_pre))
+    cost = 0.5 * jnp.sum(r_pre**2)
+
+    # --- GNSS factors (Huber-weighted IRLS) ---
+    r_g, J_g = eval_gnss(window, cfg)
+    chi_g = jnp.sum(r_g**2, axis=-1)
+    w_g = jnp.where(flags.gnss_kernel, huber_weight(chi_g), jnp.ones_like(chi_g))
+    cols_g = node_cols[:, :6]
+    H = H.at[cols_g[:, :, None], cols_g[:, None, :]].add(
+        w_g[:, None, None] * jnp.einsum("frc,frd->fcd", J_g, J_g)
+    )
+    g = g.at[cols_g].add(w_g[:, None] * jnp.einsum("frc,fr->fc", J_g, r_g))
+    cost = cost + 0.5 * jnp.sum(
+        jnp.where(flags.gnss_kernel, huber_rho(chi_g), chi_g)
+    )
+
+    # --- reprojection factors ---
+    r_v, J_v = eval_reproj(window, cfg)  # [L,N,2], [L,N,2,20]
+    chi_v = jnp.sum(r_v**2, axis=-1)
+    w_v = jnp.where(flags.reproj_kernel, huber_weight(chi_v), jnp.ones_like(chi_v))
+    ref_cols = node_cols[window.lm_ref][:, None, :6]  # [L,1,6]
+    ref_cols = jnp.broadcast_to(ref_cols, (L, N, 6))
+    obs_cols = jnp.broadcast_to(node_cols[None, :, :6], (L, N, 6))
+    extb = jnp.broadcast_to(ext_cols[None, None, :], (L, N, 6))
+    tdb = jnp.broadcast_to(jnp.array([td_col]), (L, N, 1))
+    lmb = jnp.broadcast_to((DX + jnp.arange(L))[:, None, None], (L, N, 1))
+    cols_v = jnp.concatenate([ref_cols, obs_cols, extb, tdb, lmb], axis=-1)  # [L,N,20]
+    H = H.at[cols_v[:, :, :, None], cols_v[:, :, None, :]].add(
+        w_v[:, :, None, None] * jnp.einsum("lkrc,lkrd->lkcd", J_v, J_v)
+    )
+    g = g.at[cols_v].add(w_v[:, :, None] * jnp.einsum("lkrc,lkr->lkc", J_v, r_v))
+    cost = cost + 0.5 * jnp.sum(
+        jnp.where(flags.reproj_kernel, huber_rho(chi_v), chi_v)
+    )
+
+    # --- soft bias prior on the newest node ---
+    r_b, J_b, k_new = eval_bias_prior(window, cfg)
+    cols_b = node_cols[k_new]
+    H = H.at[cols_b[:, None], cols_b[None, :]].add(J_b.T @ J_b)
+    g = g.at[cols_b].add(J_b.T @ r_b)
+    cost = cost + 0.5 * jnp.sum(r_b**2)
+
+    # --- marginalization / initialization prior ---
+    r_p, J_p = eval_prior(window, prior)
+    H = H.at[:DX, :DX].add(J_p.T @ J_p)
+    g = g.at[:DX].add(J_p.T @ r_p)
+    cost = cost + 0.5 * jnp.sum(r_p**2)
+
+    # --- gauge fixing of unused / frozen parameters ---
+    free = free_mask(window, cfg)
+    H = H * free[:, None] * free[None, :]
+    g = g * free
+    H = H + jnp.diag(jnp.where(jnp.diag(H) < 1e-12, 1.0, 0.0))
+
+    return H, g, cost
+
+
+def free_mask(window: Window, cfg: SolverConfig) -> jax.Array:
+    """1.0 for parameters free to move, 0.0 for frozen/invalid ones."""
+    N, L = window.n_nodes, window.n_landmarks
+    dtype = window.nodes.p.dtype
+    node_free = jnp.repeat(window.node_valid, NODE_DOF)
+    ext_free = jnp.full(6, cfg.estimate_extrinsic, bool)
+    td_free = jnp.array([cfg.estimate_td], bool)
+    lm_free = window.lm_valid & (jnp.sum(obs_mask(window), axis=1) > 0)
+    return jnp.concatenate([node_free, ext_free, td_free, lm_free]).astype(dtype)
+
+
+def schur_solve(H, g, dim_x: int, lam):
+    """Solve (H + lam*diag(H)) dx = -g with Schur elimination of the
+    trailing landmark block (diagonal: landmarks never couple directly).
+
+    This is the TPU analog of Ceres DENSE_SCHUR (``ic_gvins.cc:1178``): the
+    landmark elimination is a vectorized divide, the reduced camera system a
+    dense Cholesky solve.
+    """
+    d = jnp.diag(H)
+    Hd = H + jnp.diag(lam * d)
+    Hxx = Hd[:dim_x, :dim_x]
+    Hxl = Hd[:dim_x, dim_x:]
+    hll = jnp.maximum(jnp.diag(Hd)[dim_x:], 1e-12)
+    gx = g[:dim_x]
+    gl = g[dim_x:]
+
+    Hxl_w = Hxl / hll[None, :]
+    H_red = Hxx - Hxl_w @ Hxl.T
+    g_red = gx - Hxl_w @ gl
+
+    # Cholesky with a tiny floor for safety.
+    L = jnp.linalg.cholesky(H_red + 1e-12 * jnp.eye(H_red.shape[0], dtype=H.dtype))
+    dx_x = -jax.scipy.linalg.cho_solve((L, True), g_red)
+    dx_l = -(gl + Hxl.T @ dx_x) / hll
+    return jnp.concatenate([dx_x, dx_l])

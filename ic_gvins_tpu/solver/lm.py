@@ -1,0 +1,114 @@
+"""Levenberg-Marquardt loop with two-phase chi2 outlier handling.
+
+Replaces the Ceres solves of ``ic_gvins.cc:1164-1331``:
+
+* phase 1 (1/4 of the iterations): Huber kernels on GNSS + reprojection,
+* chi2 culling between phases: GNSS residuals with chi2 > 7.815 get their
+  std inflated by sqrt(chi2/thr) (``gnssOutlierCullingByChi2``),
+  reprojection observations with chi2 > 5.991 are masked out
+  (``removeReprojectionFactorsByChi2``),
+* phase 2 (3/4): GNSS without kernel, reprojection with kernel.
+
+The whole thing is one jitted program per (N, L, iters) configuration:
+fixed iteration counts with accept/reject damping updates instead of
+data-dependent convergence exits (XLA-friendly; matches the reference's
+fixed iteration budget ``optimize_num_iterations: 20``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.types import IntegrationParams
+from .assembly import (
+    RobustFlags,
+    assemble,
+    eval_gnss,
+    eval_reproj,
+    robust_cost,
+    schur_solve,
+)
+from .window import Prior, SolverConfig, Window, apply_delta
+
+
+class LMStats(NamedTuple):
+    cost0: jax.Array
+    cost1: jax.Array
+    lam: jax.Array
+    accepted: jax.Array  # number of accepted steps
+
+
+def lm_run(
+    window: Window,
+    prior: Prior,
+    cfg: SolverConfig,
+    params: IntegrationParams,
+    flags: RobustFlags,
+    iters: int,
+    lam0=1e-4,
+):
+    """Fixed-iteration LM with multiplicative damping adaptation."""
+
+    def body(_, carry):
+        win, lam, cost, naccept = carry
+        H, g, cost_cur = assemble(win, prior, cfg, params, flags)
+        dx = schur_solve(H, g, win.dim_x, lam)
+        win_new = apply_delta(win, dx)
+        cost_new = robust_cost(win_new, prior, cfg, params, flags)
+        accept = cost_new < cost_cur
+        win_out = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), win_new, win
+        )
+        lam_out = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10), lam * 4.0)
+        return (win_out, lam_out, jnp.where(accept, cost_new, cost_cur),
+                naccept + accept.astype(jnp.int32))
+
+    cost_init = robust_cost(window, prior, cfg, params, flags)
+    win, lam, cost, naccept = jax.lax.fori_loop(
+        0, iters, body, (window, jnp.asarray(lam0, window.nodes.p.dtype),
+                         cost_init, jnp.asarray(0, jnp.int32))
+    )
+    return win, LMStats(cost0=cost_init, cost1=cost, lam=lam, accepted=naccept)
+
+
+def chi2_cull(window: Window, cfg: SolverConfig):
+    """Between-phase chi2 gates (``ic_gvins.cc:1275-1331``)."""
+    # GNSS: reweight by inflating std.
+    r_g, _ = eval_gnss(window, cfg)
+    chi_g = jnp.sum(r_g**2, axis=-1)
+    scale = jnp.sqrt(jnp.maximum(chi_g / 7.815, 1.0))
+    gnss_std = window.gnss_std * scale[:, None]
+
+    # Reprojection: mask out observations beyond the 2-dof 95% gate.
+    r_v, _ = eval_reproj(window, cfg)
+    chi_v = jnp.sum(r_v**2, axis=-1)
+    obs_valid = window.obs_valid & (chi_v <= 5.991)
+    n_culled = jnp.sum(window.obs_valid & ~obs_valid)
+    return window._replace(gnss_std=gnss_std, obs_valid=obs_valid), n_culled
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize(
+    window: Window,
+    prior: Prior,
+    cfg: SolverConfig,
+    params: IntegrationParams,
+    iters: int = 20,
+):
+    """Two-phase optimization round (``gvinsOptimization``)."""
+    it1 = max(iters // 4, 1)
+    it2 = max(iters - it1, 1)
+    flags1 = RobustFlags(
+        gnss_kernel=jnp.asarray(True), reproj_kernel=jnp.asarray(True)
+    )
+    window, stats1 = lm_run(window, prior, cfg, params, flags1, it1)
+    window, n_culled = chi2_cull(window, cfg)
+    flags2 = RobustFlags(
+        gnss_kernel=jnp.asarray(False), reproj_kernel=jnp.asarray(True)
+    )
+    window, stats2 = lm_run(window, prior, cfg, params, flags2, it2)
+    return window, (stats1, stats2, n_culled)
