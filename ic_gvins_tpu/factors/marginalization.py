@@ -1,0 +1,211 @@
+"""Marginalization: fold the oldest node (+ its anchored landmarks) into a
+dense prior, then slide the window.
+
+Parity with the reference Schur-complement marginalization
+(``factors/marginalization_info.h:153-253``, driven by
+``ic_gvins.cc:1446-1712``), re-designed for fixed shapes:
+
+* The factors being marginalized are the existing prior, the GNSS factor of
+  node 0, the preintegration between nodes 0-1, and every reprojection
+  factor anchored (reference keyframe) at node 0 — the same set the
+  reference wraps into ResidualBlockInfos.
+* Instead of re-indexing parameters marg-first, the marginalized set is
+  selected with a mask: with M = diag(mask) the damped system
+  ``Hm = M H M + (I - M)`` is block-diagonal, so ``Hp = R H R - R H M
+  pinv(Hm) M H R`` is the Schur complement embedded at the remaining dims
+  (zero rows elsewhere). Eigen-pinv uses the reference's EPS = 1e-8.
+* The linearized prior (J0, e0) is the eigen square root
+  ``J0 = S^1/2 V^T``, ``e0 = S^-1/2 V^T g`` (``marginalization_info.h:
+  153-167``; sign adapted to our g = +J^T r convention).
+* Sliding the window is a pytree roll + mask reset; the prior's columns and
+  linearization snapshot roll with it.
+
+Landmarks never appear in the resulting prior: anchored ones are
+marginalized away, the rest touch no marginalized factor — matching the
+reference, whose prior spans only poses/mixes/extrinsic/td.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..data.types import IntegrationParams
+from ..solver.assembly import (
+    eval_prior,
+    huber_weight,
+    obs_mask,
+)
+from ..solver.window import EXT_DOF, NODE_DOF, Prior, Window
+
+EPS = 1e-8
+
+
+def _eigh_pinv(A):
+    w, v = jnp.linalg.eigh(0.5 * (A + A.T))
+    w_inv = jnp.where(w > EPS, 1.0 / jnp.where(w > EPS, w, 1.0), 0.0)
+    return (v * w_inv[None, :]) @ v.T
+
+
+def _marg_system(window: Window, prior: Prior, cfg, params: IntegrationParams):
+    """H, g over the full layout from only the factors touching node 0."""
+    from ..solver import assembly as asm
+
+    N, L = window.n_nodes, window.n_landmarks
+    DX, D = window.dim_x, window.dim_total
+    dtype = window.nodes.p.dtype
+    H = jnp.zeros((D, D), dtype)
+    g = jnp.zeros(D, dtype)
+
+    node_cols = jnp.arange(N)[:, None] * NODE_DOF + jnp.arange(NODE_DOF)[None, :]
+    ext_cols = N * NODE_DOF + jnp.arange(6)
+    td_col = N * NODE_DOF + 6
+
+    # --- existing prior (full states) ---
+    r_p, J_p = eval_prior(window, prior)
+    H = H.at[:DX, :DX].add(J_p.T @ J_p)
+    g = g.at[:DX].add(J_p.T @ r_p)
+
+    # --- preintegration interval 0 ---
+    z30 = jnp.zeros(2 * NODE_DOF, dtype)
+    fn = lambda d: asm._preint_res(window, params, 0, d)
+    r0, J0 = fn(z30), jax.jacfwd(fn)(z30)
+    m0 = (window.preint_valid[0] & window.node_valid[0] & window.node_valid[1]).astype(dtype)
+    r0, J0 = r0 * m0, J0 * m0
+    cols0 = jnp.concatenate([node_cols[0], node_cols[1]])
+    H = H.at[cols0[:, None], cols0[None, :]].add(J0.T @ J0)
+    g = g.at[cols0].add(J0.T @ r0)
+
+    # --- GNSS at node 0 ---
+    z6 = jnp.zeros(6, dtype)
+    fng = lambda d: asm._gnss_res(window, cfg, 0, d)
+    rg, Jg = fng(z6), jax.jacfwd(fng)(z6)
+    mg = (window.gnss_valid[0] & window.node_valid[0]).astype(dtype)
+    rg, Jg = rg * mg, Jg * mg
+    colsg = node_cols[0, :6]
+    H = H.at[colsg[:, None], colsg[None, :]].add(Jg.T @ Jg)
+    g = g.at[colsg].add(Jg.T @ rg)
+
+    # --- reprojection factors anchored at node 0 (Huber-weighted) ---
+    r_v, J_v = asm.eval_reproj(window, cfg)  # [L,N,2], [L,N,2,20] masked
+    anchored = (window.lm_ref == 0) & window.lm_valid
+    m_v = anchored[:, None].astype(dtype)
+    r_v, J_v = r_v * m_v[..., None], J_v * m_v[..., None, None]
+    chi_v = jnp.sum(r_v**2, axis=-1)
+    w_v = huber_weight(chi_v)
+    ref_cols = jnp.broadcast_to(node_cols[window.lm_ref][:, None, :6], (L, N, 6))
+    obs_cols = jnp.broadcast_to(node_cols[None, :, :6], (L, N, 6))
+    extb = jnp.broadcast_to(ext_cols[None, None, :], (L, N, 6))
+    tdb = jnp.broadcast_to(jnp.array([td_col]), (L, N, 1))
+    lmb = jnp.broadcast_to((DX + jnp.arange(L))[:, None, None], (L, N, 1))
+    cols_v = jnp.concatenate([ref_cols, obs_cols, extb, tdb, lmb], axis=-1)
+    H = H.at[cols_v[:, :, :, None], cols_v[:, :, None, :]].add(
+        w_v[:, :, None, None] * jnp.einsum("lkrc,lkrd->lkcd", J_v, J_v)
+    )
+    g = g.at[cols_v].add(w_v[:, :, None] * jnp.einsum("lkrc,lkr->lkc", J_v, r_v))
+
+    return H, g
+
+
+def marginalize_node0(window: Window, prior: Prior, cfg, params) -> Prior:
+    """Compute the new prior (in pre-roll coordinates) from marginalizing
+    node 0 and its anchored landmarks."""
+    N, L = window.n_nodes, window.n_landmarks
+    DX, D = window.dim_x, window.dim_total
+    dtype = window.nodes.p.dtype
+
+    H, g = _marg_system(window, prior, cfg, params)
+
+    # Marginalized dims: node 0 + landmarks anchored at node 0.
+    anchored = (window.lm_ref == 0) & window.lm_valid
+    m = jnp.zeros(D, dtype)
+    m = m.at[:NODE_DOF].set(1.0)
+    m = m.at[DX:].set(anchored.astype(dtype))
+
+    M = m
+    R = 1.0 - m
+    HM = H * M[None, :]  # columns in marg set
+    Hm = H * M[:, None] * M[None, :] + jnp.diag(R)
+    Hm_inv = _eigh_pinv(Hm)
+
+    RH = H * R[:, None]  # rows in remaining set
+    Hp = RH * R[None, :] - (RH * M[None, :]) @ Hm_inv @ (HM * R[None, :]).T
+    gp = R * g - (RH * M[None, :]) @ (Hm_inv @ (M * g))
+
+    # Restrict to the states block (landmark rows are zero by construction).
+    Hp = Hp[:DX, :DX]
+    gp = gp[:DX]
+
+    w, v = jnp.linalg.eigh(0.5 * (Hp + Hp.T))
+    keep = w > EPS
+    s_sqrt = jnp.where(keep, jnp.sqrt(jnp.where(keep, w, 1.0)), 0.0)
+    s_inv_sqrt = jnp.where(keep, 1.0 / jnp.where(s_sqrt > 0, s_sqrt, 1.0), 0.0)
+    J0 = s_sqrt[:, None] * v.T
+    e0 = s_inv_sqrt * (v.T @ gp)
+
+    return Prior(
+        J=J0,
+        e=e0,
+        lin_nodes=window.nodes,
+        lin_ext_p=window.ext_p,
+        lin_ext_q=window.ext_q,
+        lin_td=window.td,
+    )
+
+
+def slide_window(window: Window, prior: Prior) -> tuple[Window, Prior]:
+    """Roll everything left by one node; clear the freed slots; remap the
+    prior's columns and linearization snapshot."""
+    N, L = window.n_nodes, window.n_landmarks
+    DX = window.dim_x
+    dtype = window.nodes.p.dtype
+
+    roll1 = lambda x: jnp.roll(x, -1, axis=0)
+    nodes = jax.tree.map(roll1, window.nodes)
+    node_valid = roll1(window.node_valid).at[-1].set(False)
+    node_is_kf = roll1(window.node_is_kf).at[-1].set(False)
+    preint = jax.tree.map(roll1, window.preint)
+    preint_valid = roll1(window.preint_valid).at[-1].set(False)
+    gnss_p = roll1(window.gnss_p)
+    gnss_std = roll1(window.gnss_std)
+    gnss_valid = roll1(window.gnss_valid).at[-1].set(False)
+    frame_td = roll1(window.frame_td)
+
+    obs_uv = jnp.roll(window.obs_uv, -1, axis=1).at[:, -1].set(0.0)
+    obs_vel = jnp.roll(window.obs_vel, -1, axis=1).at[:, -1].set(0.0)
+    obs_valid = jnp.roll(window.obs_valid, -1, axis=1).at[:, -1].set(False)
+
+    lm_dead = (window.lm_ref == 0) & window.lm_valid
+    lm_valid = window.lm_valid & ~lm_dead
+    lm_ref = jnp.maximum(window.lm_ref - 1, 0)
+
+    win = window._replace(
+        nodes=nodes, node_valid=node_valid, node_is_kf=node_is_kf,
+        preint=preint, preint_valid=preint_valid,
+        gnss_p=gnss_p, gnss_std=gnss_std, gnss_valid=gnss_valid,
+        frame_td=frame_td,
+        obs_uv=obs_uv, obs_vel=obs_vel, obs_valid=obs_valid,
+        lm_valid=lm_valid, lm_ref=lm_ref,
+    )
+
+    # Roll the prior columns: node i <- node i+1; ext/td stay; the freed
+    # last-node columns (and rows of lin snapshot) become zero/identity.
+    J = prior.J
+    node_part = J[:, : N * NODE_DOF].reshape(-1, N, NODE_DOF)
+    node_part = jnp.roll(node_part, -1, axis=1).at[:, -1].set(0.0)
+    J_new = jnp.concatenate(
+        [node_part.reshape(-1, N * NODE_DOF), J[:, N * NODE_DOF :]], axis=1
+    )
+    lin_nodes = jax.tree.map(roll1, prior.lin_nodes)
+    pr = Prior(
+        J=J_new, e=prior.e,
+        lin_nodes=lin_nodes,
+        lin_ext_p=prior.lin_ext_p, lin_ext_q=prior.lin_ext_q, lin_td=prior.lin_td,
+    )
+    return win, pr
+
+
+def marginalize_and_slide(window: Window, prior: Prior, cfg, params):
+    """Full marginalization round: build the new prior, then slide."""
+    new_prior = marginalize_node0(window, prior, cfg, params)
+    return slide_window(window, new_prior)
