@@ -190,6 +190,77 @@ def simulate_gnss(
     return Gnss(time=times, p=ps, std=jnp.full((n, 3), std))
 
 
+def scatter_landmarks(
+    traj: Trajectory,
+    params: IntegrationParams,
+    key: jax.Array,
+    n: int,
+    t0: float,
+    t1: float,
+    lateral: float = 30.0,
+    depth_range: tuple[float, float] = (8.0, 60.0),
+) -> jax.Array:
+    """Scatter world landmarks around the trajectory segment [t0, t1]: each
+    is placed at a random distance in front of the camera at a random time,
+    so features are visible from nearby frames."""
+    kt, kd, ko = jax.random.split(key, 3)
+    ts = jax.random.uniform(kt, (n,), minval=t0, maxval=t1)
+    depths = jax.random.uniform(
+        kd, (n,), minval=depth_range[0], maxval=depth_range[1]
+    )
+    offsets = jax.random.uniform(ko, (n, 2), minval=-lateral, maxval=lateral)
+
+    def place(t, d, off):
+        s = truth_state(traj, params, t)
+        fwd = rot.quat_rotate(s.q, jnp.array([1.0, 0.0, 0.0]))
+        right = rot.quat_rotate(s.q, jnp.array([0.0, 1.0, 0.0]))
+        down = rot.quat_rotate(s.q, jnp.array([0.0, 0.0, 1.0]))
+        return s.p + fwd * d + right * off[0] + down * (off[1] * 0.15 - 1.0)
+
+    return jax.vmap(place)(ts, depths, offsets)
+
+
+def project_landmarks(
+    traj: Trajectory,
+    params: IntegrationParams,
+    landmarks: jax.Array,  # [L,3] world points
+    times: jax.Array,  # [K] frame times
+    ext_p: jax.Array,
+    ext_q: jax.Array,
+    fov_tan: float = 0.8,
+    min_depth: float = 2.0,
+    max_depth: float = 120.0,
+    noise_std: float = 0.0,
+    key: jax.Array | None = None,
+):
+    """Ideal feature tracks: normalized-plane observations of each landmark
+    from each frame, with visibility mask. Returns (uv [L,K,2], vis [L,K])."""
+
+    def per_frame(t):
+        s = truth_state(traj, params, t)
+        t_wc = s.p + rot.quat_rotate(s.q, ext_p)
+        q_wc = rot.quat_mul(s.q, ext_q)
+        pc = jax.vmap(
+            lambda pw: rot.quat_rotate(rot.quat_inv(q_wc), pw - t_wc)
+        )(landmarks)
+        z = pc[:, 2]
+        uv = pc[:, :2] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)[:, None]
+        vis = (
+            (z > min_depth)
+            & (z < max_depth)
+            & (jnp.abs(uv[:, 0]) < fov_tan)
+            & (jnp.abs(uv[:, 1]) < fov_tan)
+        )
+        return uv, vis
+
+    uv, vis = jax.lax.map(per_frame, times)  # [K,L,2], [K,L]
+    uv = jnp.swapaxes(uv, 0, 1)
+    vis = jnp.swapaxes(vis, 0, 1)
+    if key is not None and noise_std > 0:
+        uv = uv + noise_std * jax.random.normal(key, uv.shape)
+    return uv, vis
+
+
 def default_params(
     with_earth: bool = True,
     lat_deg: float = 30.5,

@@ -1,0 +1,586 @@
+"""The fusion engine: sensor ingest, time nodes, optimize, marginalize.
+
+Capability parity with the reference GVINS orchestrator
+(``ic_gvins/ic_gvins/ic_gvins.cc``), re-architected: the reference's four
+threads + mutexes/semaphores (``ic_gvins.h:181-206``) become a
+*deterministic host pipeline* — events are consumed in time order, and each
+sensor event triggers pure jitted device programs:
+
+* IMU    -> incremental mechanization (``runFusion``/``insMechanization``)
+* GNSS   -> time node + preintegration slice + optimization round
+* frame  -> (from the front-end) keyframe node + landmark bookkeeping +
+            optimization round + marginalization while over-full
+
+State machine (parity ``ic_gvins.h:47-55``): INITIALIZING ->
+INITIALIZING_INS (GNSS/INS only) -> TRACKING_NORMAL once frames flow.
+
+Host-side state is tiny numpy bookkeeping (buffers, slot maps); every hot
+loop is a jitted XLA program with static shapes (see solver/, ins/).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import rotation as rot
+from ..data.types import ImuSeq, IntegrationParams, NavState
+from ..factors.marginalization import marginalize_and_slide
+from ..ins import mechanization as mech
+from ..ins import preintegration as pre
+from ..solver import lm as lm_mod
+from ..solver.window import (
+    NODE_DOF,
+    Prior,
+    SolverConfig,
+    empty_prior,
+    empty_window,
+    make_init_prior,
+)
+from .config import D2R, EngineConfig
+
+# engine states (parity with GVINSState, ic_gvins.h:47-55)
+INITIALIZING = 0
+INITIALIZING_INS = 1
+TRACKING_NORMAL = 4
+
+
+@dataclass
+class _ImuBuffer:
+    """Host ring buffer of IMU increments (numpy)."""
+
+    time: list = field(default_factory=list)
+    dt: list = field(default_factory=list)
+    dtheta: list = field(default_factory=list)
+    dvel: list = field(default_factory=list)
+
+    def append(self, t, dt, dth, dv):
+        self.time.append(float(t))
+        self.dt.append(float(dt))
+        self.dtheta.append(np.asarray(dth, np.float64))
+        self.dvel.append(np.asarray(dv, np.float64))
+
+    def drop_before(self, t):
+        i = 0
+        while i < len(self.time) - 2 and self.time[i + 1] < t:
+            i += 1
+        if i > 0:
+            del self.time[:i], self.dt[:i], self.dtheta[:i], self.dvel[:i]
+
+    def slice_between(self, t0, t1, n_pad, min_dt=1e-4):
+        """IMU series covering (t0, t1] with boundary interpolation and
+        zero-padding to n_pad samples (+1 leading seed), mirroring
+        ``MISC::getImuSeriesFromTo`` (misc.cc:330-384)."""
+        times = np.asarray(self.time)
+        i0 = int(np.searchsorted(times, t0 + min_dt))
+        i1 = int(np.searchsorted(times, t1 - min_dt))
+        # seed sample (predecessor of the first in-interval sample)
+        out_t, out_dt, out_th, out_dv = [t0], [0.0], [np.zeros(3)], [np.zeros(3)]
+        # partial first interval: scale the increment crossing t0
+        if i0 > 0 and times[i0] > t0 + min_dt and times[i0] - self.dt[i0] < t0 - min_dt:
+            frac = (times[i0] - t0) / self.dt[i0]
+            out_t.append(times[i0])
+            out_dt.append(times[i0] - t0)
+            out_th.append(self.dtheta[i0] * frac)
+            out_dv.append(self.dvel[i0] * frac)
+            i0 += 1
+        for k in range(i0, min(i1 + 1, len(times))):
+            if times[k] <= t1 + min_dt:
+                out_t.append(times[k])
+                out_dt.append(self.dt[k])
+                out_th.append(self.dtheta[k])
+                out_dv.append(self.dvel[k])
+        # partial last interval
+        if i1 + 1 < len(times) and times[i1 + 1] > t1 + min_dt and (i1 < 0 or times[i1] < t1 - min_dt):
+            k = i1 + 1
+            frac = (t1 - (times[k] - self.dt[k])) / self.dt[k]
+            if frac > 1e-9:
+                out_t.append(t1)
+                out_dt.append(t1 - (times[k] - self.dt[k]))
+                out_th.append(self.dtheta[k] * frac)
+                out_dv.append(self.dvel[k] * frac)
+        out_t[-1] = t1  # stamp the end exactly (misc.cc:381)
+        n = len(out_t)
+        if n > n_pad:
+            raise ValueError(f"IMU slice {n} exceeds capacity {n_pad}")
+        pad = n_pad - n
+        return ImuSeq(
+            time=jnp.asarray(np.concatenate([out_t, np.full(pad, t1)])),
+            dt=jnp.asarray(np.concatenate([out_dt, np.zeros(pad)])),
+            dtheta=jnp.asarray(np.stack(out_th + [np.zeros(3)] * pad)),
+            dvel=jnp.asarray(np.stack(out_dv + [np.zeros(3)] * pad)),
+        )
+
+
+class Estimator:
+    """INS-centric GNSS(+Visual) fusion engine."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        m = cfg.imumodel
+        self.params = IntegrationParams(
+            gyr_arw=jnp.asarray(m.arw * D2R / 60.0),
+            acc_vrw=jnp.asarray(m.vrw / 60.0),
+            gyr_bias_std=jnp.asarray(m.gbstd * D2R / 3600.0),
+            acc_bias_std=jnp.asarray(m.abstd * 1e-5),
+            corr_time=jnp.asarray(m.corrtime * 3600.0),
+            gravity=jnp.array([0.0, 0.0, cfg.gravity]),
+            iewn=jnp.zeros(3),  # set at initialization from latitude
+        )
+        self.solver_cfg = SolverConfig(
+            antlever=jnp.asarray(cfg.antlever, jnp.float64),
+            reproj_std=jnp.asarray(
+                cfg.reprojection_error_std / (0.5 * (cfg.cam.intrinsic[0] + cfg.cam.intrinsic[1]))
+            ),
+            bias_prior_bg_std=jnp.asarray(cfg.gyr_bias_prior_std),
+            bias_prior_ba_std=jnp.asarray(cfg.acc_bias_prior_std),
+            estimate_extrinsic=jnp.asarray(cfg.optimize_estimate_extrinsic),
+            estimate_td=jnp.asarray(cfg.optimize_estimate_td),
+        )
+
+        self.state = INITIALIZING
+        self.imu = _ImuBuffer()
+        self.gnss_queue: list[tuple[float, np.ndarray, np.ndarray]] = []
+
+        self.window = empty_window(cfg.max_nodes, cfg.max_landmarks)
+        q_bc = np.asarray(cfg.cam.q_b_c, np.float64)
+        self.window = self.window._replace(
+            ext_p=jnp.asarray(cfg.cam.t_b_c, jnp.float64),
+            ext_q=jnp.asarray(q_bc / np.linalg.norm(q_bc)),
+            td=jnp.asarray(cfg.cam.td_b_c, jnp.float64),
+        )
+        self.prior = empty_prior(cfg.max_nodes)
+        self.n_nodes = 0  # host count of valid nodes
+        self.node_times: list[float] = []
+        self.node_is_kf: list[bool] = []
+        self.n_keyframes = 0
+
+        # current mechanized state + trajectory log
+        self.cur_state: NavState | None = None
+        self.last_node_state: NavState | None = None
+        self.traj_times: list[float] = []
+        self.traj_p: list[np.ndarray] = []
+        self.traj_q: list[np.ndarray] = []
+
+        # landmark slot bookkeeping: external id -> slot
+        self.lm_slot: dict[int, int] = {}
+        self.free_slots = list(range(cfg.max_landmarks - 1, -1, -1))
+        self.stats: list[dict] = []
+
+    # ------------------------------------------------------------------
+    # ingest
+    # ------------------------------------------------------------------
+
+    def add_imu(self, t, dt, dtheta, dvel):
+        self.imu.append(t, dt, dtheta, dvel)
+
+    def add_gnss(self, t, p_local, std):
+        """GNSS fix already in the local frame (ingest conversion is the
+        data layer's job, parity ``ic_gvins.cc:221-243``)."""
+        std = np.asarray(std, np.float64)
+        if np.any(std <= 0) or np.any(std > self.cfg.gnssthreshold):
+            return  # quality gate (fusion_ros.cc:195-211)
+        self.gnss_queue.append((float(t), np.asarray(p_local, np.float64), std))
+        if self.state == INITIALIZING:
+            self._try_initialize()
+        else:
+            self._process_gnss_node()
+
+    # ------------------------------------------------------------------
+    # initialization (parity gvinsInitialization, ic_gvins.cc:618-726)
+    # ------------------------------------------------------------------
+
+    def _try_initialize(self):
+        if len(self.gnss_queue) < 2:
+            return
+        t0, p0, _ = self.gnss_queue[-2]
+        t1, p1, _ = self.gnss_queue[-1]
+        if not self.imu.time or self.imu.time[-1] < t1 or self.imu.time[0] > t0:
+            return
+
+        cfg = self.cfg
+        # earth rate from configured latitude (no geodetic origin in the
+        # local-frame API; the data layer owns the global<->local mapping)
+        if cfg.iswithearth:
+            lat = cfg.track_ref_lat_deg * D2R
+            wie = 7.2921151467e-5
+            iewn = jnp.array([wie * math.cos(lat), 0.0, -wie * math.sin(lat)])
+        else:
+            iewn = jnp.zeros(3)
+        self.params = self.params._replace(iewn=iewn)
+
+        # IMU stats between the two fixes
+        times = np.asarray(self.imu.time)
+        sel = (times > t0) & (times <= t1)
+        dth = np.stack([d for d, m in zip(self.imu.dtheta, sel) if m])
+        dv = np.stack([d for d, m in zip(self.imu.dvel, sel) if m])
+        dts = np.asarray(self.imu.dt)[sel]
+        rate = cfg.imudatarate
+        is_zv, mean = mech.detect_zero_velocity(
+            jnp.asarray(dth), jnp.asarray(dv), rate,
+            cfg.zupt_gyr_threshold, cfg.zupt_acc_threshold,
+        )
+        is_zv = bool(is_zv)
+        mean = np.asarray(mean)
+        g = cfg.gravity
+
+        vel_gnss = (p1 - p0) / (t1 - t0)
+        if is_zv:
+            bg = mean[:3] * rate  # increments -> rate
+            fb = mean[3:] * rate
+            pitch = math.asin(np.clip(fb[0] / g, -1, 1))
+            roll = math.atan2(-fb[1], -fb[2])
+            yaw = 0.0
+            vel = np.zeros(3)
+        else:
+            if np.linalg.norm(vel_gnss[:2]) < cfg.min_align_velocity:
+                return  # not enough motion to align heading
+            bg = np.zeros(3)
+            yaw = math.atan2(vel_gnss[1], vel_gnss[0])
+            hv = np.linalg.norm(vel_gnss[:2])
+            pitch = math.atan2(-vel_gnss[2], hv)
+            roll = 0.0
+            vel = vel_gnss
+
+        q = np.asarray(rot.euler_to_quat(jnp.array([roll, pitch, yaw])))
+        r_bn = np.asarray(rot.quat_to_matrix(jnp.asarray(q)))
+        p_node = p1 - r_bn @ np.asarray(cfg.antlever)
+
+        state0 = NavState(
+            time=jnp.asarray(t1),
+            p=jnp.asarray(p_node),
+            q=jnp.asarray(q),
+            v=jnp.asarray(vel),
+            bg=jnp.asarray(bg),
+            ba=jnp.zeros(3),
+        )
+        self._append_node(state0, is_kf=False)
+        w = self.window
+        _, _, gstd = self.gnss_queue[-1]
+        self.window = w._replace(
+            gnss_p=w.gnss_p.at[0].set(jnp.asarray(p1)),
+            gnss_std=w.gnss_std.at[0].set(jnp.asarray(gstd)),
+            gnss_valid=w.gnss_valid.at[0].set(True),
+        )
+
+        # initialization prior (constructPrior, ic_gvins.cc:2003-2038)
+        bg_std = (
+            float(self.params.gyr_bias_std) * 3 if is_zv else self.cfg.gyr_bias_prior_std
+        )
+        pose_std = jnp.array([0.1, 0.1, 0.1, 0.5 * D2R, 0.5 * D2R, 1.5 * D2R])
+        mix_std = jnp.array([0.1] * 3 + [bg_std] * 3 + [self.cfg.acc_bias_prior_std] * 3)
+        self.prior = make_init_prior(self.window, pose_std, mix_std)
+
+        self.cur_state = state0
+        self.last_node_state = state0
+        self.imu.drop_before(t1 - 0.1)
+        self.state = INITIALIZING_INS
+
+    # ------------------------------------------------------------------
+    # node management
+    # ------------------------------------------------------------------
+
+    def _append_node(self, state: NavState, is_kf: bool):
+        """Write a node at slot n_nodes (host-tracked append)."""
+        n = self.n_nodes
+        w = self.window
+        nodes = w.nodes
+        nodes = NavState(
+            time=nodes.time.at[n].set(state.time),
+            p=nodes.p.at[n].set(state.p),
+            q=nodes.q.at[n].set(state.q),
+            v=nodes.v.at[n].set(state.v),
+            bg=nodes.bg.at[n].set(state.bg),
+            ba=nodes.ba.at[n].set(state.ba),
+        )
+        self.window = w._replace(
+            nodes=nodes,
+            node_valid=w.node_valid.at[n].set(True),
+            node_is_kf=w.node_is_kf.at[n].set(is_kf),
+        )
+        self.node_times.append(float(state.time))
+        self.node_is_kf.append(is_kf)
+        self.n_nodes += 1
+        if is_kf:
+            self.n_keyframes += 1
+
+    def _mechanize_to(self, t: float) -> NavState:
+        """Mechanize from the last node state to time t (redo semantics:
+        always replays from the freshest optimized node, misc.cc:231-284)."""
+        s = self.last_node_state
+        if t <= float(s.time) + self.cfg.min_time_interval:
+            return s
+        n_needed = int((t - float(s.time)) * self.cfg.imudatarate) + 8
+        imu = self.imu.slice_between(float(s.time), t, n_needed)
+        states = mech.mechanize_scan(self.params, s, imu)
+        return states.index(-1)
+
+    def _add_time_node(self, t: float, is_kf: bool):
+        """Preintegrate from the previous node and append a node at t
+        (parity addNewTimeNode, ic_gvins.cc:931-962)."""
+        t_prev = self.node_times[-1]
+        imu = self.imu.slice_between(t_prev, t, self.cfg.max_imu_per_interval)
+        i = self.n_nodes - 1
+        state_prev = self.window.nodes.index(i)
+        data = pre.preintegrate(self.params, state_prev, imu)
+        new_state = data.end_state
+
+        self._append_node(new_state, is_kf)
+        w = self.window
+        preint = jax.tree.map(
+            lambda full, x: full.at[i].set(x), w.preint, data
+        )
+        self.window = w._replace(
+            preint=preint, preint_valid=w.preint_valid.at[i].set(True)
+        )
+        self.last_node_state = new_state
+        self.cur_state = new_state
+
+    def _process_gnss_node(self):
+        t, p, std = self.gnss_queue[-1]
+        if abs(t - self.node_times[-1]) < self.cfg.min_sync_interval:
+            # same time node: attach the fix to the newest node
+            # (parity isTheSameTimeNode, misc.cc:143-145)
+            n = self.n_nodes - 1
+            w = self.window
+            self.window = w._replace(
+                gnss_p=w.gnss_p.at[n].set(jnp.asarray(p)),
+                gnss_std=w.gnss_std.at[n].set(jnp.asarray(std)),
+                gnss_valid=w.gnss_valid.at[n].set(True),
+            )
+            self._optimize_round()
+            return
+        if t < self.node_times[-1]:
+            return  # stale fix older than the window head
+        if self.imu.time[-1] < t:
+            return  # wait for IMU coverage; caller retries
+        self._add_time_node(t, is_kf=False)
+        n = self.n_nodes - 1
+        w = self.window
+        self.window = w._replace(
+            gnss_p=w.gnss_p.at[n].set(jnp.asarray(p)),
+            gnss_std=w.gnss_std.at[n].set(jnp.asarray(std)),
+            gnss_valid=w.gnss_valid.at[n].set(True),
+        )
+        self._optimize_round()
+
+    # ------------------------------------------------------------------
+    # vision ingest: observations from the front-end (ideal tracks or KLT)
+    # ------------------------------------------------------------------
+
+    def add_frame_observations(self, t, ids, uv, vel=None, force_kf=None):
+        """A tracked frame: landmark ids + normalized-plane observations.
+
+        Keyframe decision (parity ``tracking.cc:263-307``): mean parallax
+        against each landmark's last stored observation > threshold, or
+        interval since last keyframe > track_max_interval.
+        """
+        if self.state == INITIALIZING:
+            return
+        if self.imu.time[-1] < t:
+            return
+        ids = list(map(int, ids))
+        uv = np.asarray(uv, np.float64)
+        vel = np.zeros_like(uv) if vel is None else np.asarray(vel, np.float64)
+
+        is_kf = self._keyframe_decision(t, ids, uv) if force_kf is None else force_kf
+        if not is_kf:
+            return
+        if t < self.node_times[-1] + self.cfg.keyframe_min_interval:
+            return
+
+        self._add_time_node(t, is_kf=True)
+        n = self.n_nodes - 1
+        w = self.window
+        obs_uv = np.asarray(w.obs_uv)
+        obs_vel = np.asarray(w.obs_vel)
+        obs_valid = np.asarray(w.obs_valid)
+        lm_ref = np.asarray(w.lm_ref)
+        lm_valid = np.asarray(w.lm_valid)
+        lm_invd = np.asarray(w.lm_invdepth)
+
+        for fid, xy, vxy in zip(ids, uv, vel):
+            slot = self.lm_slot.get(fid)
+            if slot is None:
+                if not self.free_slots:
+                    continue
+                slot = self.free_slots.pop()
+                self.lm_slot[fid] = slot
+                lm_ref[slot] = n
+                lm_valid[slot] = False  # becomes valid at 2nd observation
+                lm_invd[slot] = 1.0 / 10.0  # DEFAULT_DEPTH
+            else:
+                if not lm_valid[slot] and obs_valid[slot].sum() >= 1:
+                    lm_valid[slot] = True
+            obs_uv[slot, n] = xy
+            obs_vel[slot, n] = vxy
+            obs_valid[slot, n] = True
+
+        self.window = w._replace(
+            obs_uv=jnp.asarray(obs_uv),
+            obs_vel=jnp.asarray(obs_vel),
+            obs_valid=jnp.asarray(obs_valid),
+            lm_ref=jnp.asarray(lm_ref),
+            lm_valid=jnp.asarray(lm_valid),
+            lm_invdepth=jnp.asarray(lm_invd),
+            frame_td=w.frame_td.at[n].set(0.0),
+        )
+        self._init_new_depths(n)
+        if self.state == INITIALIZING_INS:
+            self.state = TRACKING_NORMAL
+        self._optimize_round()
+
+    def _keyframe_decision(self, t, ids, uv) -> bool:
+        if not any(self.node_is_kf):
+            return True
+        last_kf_t = max(
+            tt for tt, k in zip(self.node_times, self.node_is_kf) if k
+        )
+        if t - last_kf_t > self.cfg.track_max_interval:
+            return True
+        # mean parallax vs the latest stored observation of each landmark
+        obs_uv = np.asarray(self.window.obs_uv)
+        obs_valid = np.asarray(self.window.obs_valid)
+        focal = 0.5 * (self.cfg.cam.intrinsic[0] + self.cfg.cam.intrinsic[1])
+        ds = []
+        for fid, xy in zip(ids, uv):
+            slot = self.lm_slot.get(fid)
+            if slot is None or not obs_valid[slot].any():
+                continue
+            k_last = np.nonzero(obs_valid[slot])[0][-1]
+            ds.append(np.linalg.norm(xy - obs_uv[slot, k_last]) * focal)
+        return bool(ds) and float(np.mean(ds)) > self.cfg.track_min_parallax
+
+    def _init_new_depths(self, n):
+        """Triangulate landmarks anchored earlier and first re-observed now
+        (parity ``tracking.cc:690-811`` done with window poses)."""
+        from ..vision.triangulation import triangulate_checked
+
+        w = self.window
+        obs_valid = np.asarray(w.obs_valid)
+        lm_ref = np.asarray(w.lm_ref)
+        lm_valid = np.asarray(w.lm_valid)
+        lm_invd = np.asarray(w.lm_invdepth)
+        cand = [
+            l
+            for l in range(w.n_landmarks)
+            if lm_valid[l]
+            and obs_valid[l, n]
+            and abs(lm_invd[l] - 0.1) < 1e-12
+            and lm_ref[l] != n
+            and obs_valid[l, lm_ref[l]]
+        ]
+        if not cand:
+            return
+        cand = np.asarray(cand)
+        nodes = self.window.nodes
+        refs = lm_ref[cand]
+
+        def cam_pose(k_arr):
+            p = np.asarray(nodes.p)[k_arr]
+            q = np.asarray(nodes.q)[k_arr]
+            qj, pj = jnp.asarray(q), jnp.asarray(p)
+            t_wc = pj + rot.quat_rotate(qj, self.window.ext_p)
+            q_wc = rot.quat_mul(qj, self.window.ext_q)
+            return rot.quat_to_matrix(q_wc), t_wc
+
+        r0, t0 = cam_pose(refs)
+        r1, t1 = cam_pose(np.full(len(cand), n))
+        xy0 = jnp.asarray(np.asarray(w.obs_uv)[cand, refs])
+        xy1 = jnp.asarray(np.asarray(w.obs_uv)[cand, n])
+        _, invd, ok = triangulate_checked(r0, t0, r1, t1, xy0, xy1, reproj_thresh=0.05)
+        invd = np.asarray(invd)
+        ok = np.asarray(ok)
+        lm_invd[cand[ok]] = invd[ok]
+        self.window = self.window._replace(lm_invdepth=jnp.asarray(lm_invd))
+
+    # ------------------------------------------------------------------
+    # optimization + marginalization round
+    # ------------------------------------------------------------------
+
+    def _optimize_round(self):
+        self.window, stats = lm_mod.optimize(
+            self.window, self.prior, self.solver_cfg, self.params,
+            iters=self.cfg.optimize_num_iterations,
+        )
+        s1, s2, ncull = stats
+        self.stats.append(
+            dict(
+                t=self.node_times[-1],
+                cost0=float(s1.cost0),
+                cost1=float(s2.cost1),
+                culled=int(ncull),
+                n_nodes=self.n_nodes,
+            )
+        )
+        # refresh mechanization origin from the newest optimized node
+        self.last_node_state = self.window.nodes.index(self.n_nodes - 1)
+        self._log_pose()
+
+        # slide while over-full (parity ic_gvins.cc:472-475): too many
+        # keyframes OR node slots nearly exhausted
+        while (
+            self.n_keyframes > self.cfg.optimize_windows_size
+            or self.n_nodes > self.cfg.max_nodes - 2
+        ):
+            self._marginalize_oldest()
+
+    def _marginalize_oldest(self):
+        dead_slots = [
+            s for fid, s in self.lm_slot.items()
+            if int(self.window.lm_ref[s]) == 0 and bool(self.window.lm_valid[s])
+        ]
+        self.window, self.prior = marginalize_and_slide(
+            self.window, self.prior, self.solver_cfg, self.params
+        )
+        was_kf = self.node_is_kf.pop(0)
+        self.node_times.pop(0)
+        self.n_nodes -= 1
+        if was_kf:
+            self.n_keyframes -= 1
+        # free landmark slots that died with the marginalized anchor
+        dead_ids = [fid for fid, s in self.lm_slot.items() if s in set(dead_slots)]
+        for fid in dead_ids:
+            self.free_slots.append(self.lm_slot.pop(fid))
+        # landmarks anchored at the (old) node 0 whose slots weren't valid
+        # yet (single observation) also die; reclaim any slot with no obs
+        obs_valid = np.asarray(self.window.obs_valid)
+        lm_valid = np.asarray(self.window.lm_valid)
+        stale = [
+            fid for fid, s in self.lm_slot.items()
+            if not lm_valid[s] and obs_valid[s].sum() == 0
+        ]
+        for fid in stale:
+            self.free_slots.append(self.lm_slot.pop(fid))
+
+    def _log_pose(self):
+        s = self.last_node_state
+        self.traj_times.append(float(s.time))
+        self.traj_p.append(np.asarray(s.p))
+        self.traj_q.append(np.asarray(s.q))
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+
+    def current_state(self) -> NavState | None:
+        return self.cur_state
+
+    def predicted_state(self, t: float) -> NavState | None:
+        """INS-mechanized state at t (for front-end pose prediction,
+        parity ``MISC::getCameraPoseFromInsWindow``)."""
+        if self.state == INITIALIZING:
+            return None
+        return self._mechanize_to(t)
+
+    def trajectory(self):
+        return (
+            np.asarray(self.traj_times),
+            np.stack(self.traj_p) if self.traj_p else np.zeros((0, 3)),
+            np.stack(self.traj_q) if self.traj_q else np.zeros((0, 4)),
+        )

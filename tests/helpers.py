@@ -101,6 +101,90 @@ def build_gins_window(
     return win, truth, params, traj
 
 
+def build_gvins_window(
+    n_nodes=8,
+    n_landmarks=48,
+    node_dt=0.4,
+    rate=200.0,
+    gnss_std=0.05,
+    gnss_every=3,  # GNSS only at every k-th node (vision must bridge)
+    px_noise=0.5,  # pixels of observation noise
+    focal=780.0,
+    with_earth=True,
+    seed=0,
+):
+    """GNSS + IMU + camera window with simulated feature tracks."""
+    win, truth, params, traj = build_gins_window(
+        n_nodes=n_nodes,
+        n_landmarks=n_landmarks,
+        node_dt=node_dt,
+        rate=rate,
+        gnss_std=gnss_std,
+        with_earth=with_earth,
+        seed=seed,
+    )
+    key = jax.random.PRNGKey(seed + 100)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    # sparse GNSS
+    gnss_valid = win.gnss_valid & (jnp.arange(win.n_nodes) % gnss_every == 0)
+    win = win._replace(gnss_valid=gnss_valid)
+
+    # camera extrinsic: camera looking forward (z = body x), like the
+    # reference's q_b_c ~ [0.5,0.5,0.5,0.5]
+    ext_q = rot.matrix_to_quat(
+        jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    )
+    ext_p = jnp.array([0.1, 0.0, -0.05])
+
+    t0 = float(truth.time[0])
+    t1 = float(truth.time[-1])
+    lms = sim.scatter_landmarks(traj, params, k1, n_landmarks, t0, t1 + 1.0)
+    uv, vis = sim.project_landmarks(
+        traj, params, lms, truth.time, ext_p, ext_q,
+        noise_std=px_noise / focal, key=k2,
+    )
+
+    # anchor each landmark at its first visible node; needs >= 2 views
+    first = jnp.argmax(vis, axis=1).astype(jnp.int32)
+    nviews = jnp.sum(vis, axis=1)
+    lm_valid = nviews >= 2
+
+    # truth inverse depth in the anchor frame
+    def ref_invdepth(l):
+        t = truth.time[first[l]]
+        s = sim.truth_state(traj, params, t)
+        t_wc = s.p + rot.quat_rotate(s.q, ext_p)
+        q_wc = rot.quat_mul(s.q, ext_q)
+        pc = rot.quat_rotate(rot.quat_inv(q_wc), lms[l] - t_wc)
+        return 1.0 / jnp.maximum(pc[2], 0.1)
+
+    invd_truth = jax.vmap(ref_invdepth)(jnp.arange(n_landmarks))
+
+    N = win.n_nodes
+    obs_uv = jnp.zeros((n_landmarks, N, 2))
+    obs_uv = obs_uv.at[:, :n_nodes].set(uv)
+    obs_valid = jnp.zeros((n_landmarks, N), bool)
+    obs_valid = obs_valid.at[:, :n_nodes].set(vis)
+
+    # Initialize inverse depths by triangulation like the engine does at
+    # landmark creation (the reference triangulates at keyframe insertion,
+    # tracking.cc:690-811; a DEFAULT_DEPTH init would be culled by the
+    # phase-1 chi2 gate for far landmarks).
+    invd_init = invd_truth * (1.0 + 0.05 * jax.random.normal(k3, (n_landmarks,)))
+
+    win = win._replace(
+        ext_p=ext_p,
+        ext_q=ext_q,
+        lm_ref=first,
+        lm_valid=lm_valid,
+        lm_invdepth=invd_init,
+        obs_uv=obs_uv,
+        obs_valid=obs_valid,
+    )
+    return win, truth, params, traj, lms, invd_truth
+
+
 def perturb_window(win, n_nodes, key, dp=0.3, dth=0.01, dv=0.1):
     k1, k2, k3 = jax.random.split(key, 3)
     nodes = win.nodes

@@ -1,0 +1,83 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from helpers import build_gvins_window, default_cfg, perturb_window
+
+from ic_gvins_tpu.parallel import multi_seq, schur
+from ic_gvins_tpu.solver import assembly, lm
+from ic_gvins_tpu.solver.window import make_init_prior
+
+
+def std_priors():
+    pose_std = jnp.array([0.1] * 3 + [0.5 * jnp.pi / 180] * 2 + [1.5 * jnp.pi / 180])
+    mix_std = jnp.array([0.1] * 3 + [2 * jnp.pi / 180] * 3 + [0.2] * 3)
+    return pose_std, mix_std
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
+    return Mesh(np.array(devs[:8]), ("lm",))
+
+
+def test_sharded_gn_step_matches_single_device(mesh):
+    win, truth, params, traj, lms, invd_truth = build_gvins_window(
+        n_nodes=8, n_landmarks=48, seed=31
+    )
+    cfg = default_cfg()
+    win_p = perturb_window(win, 8, jax.random.PRNGKey(3), dp=0.05, dth=0.002, dv=0.02)
+    pose_std, mix_std = std_priors()
+    prior = make_init_prior(win, pose_std, mix_std)
+
+    lam = 1e-4
+    # single-device reference step
+    H, g, _ = assembly.assemble(
+        win_p, prior, cfg, params,
+        assembly.RobustFlags(jnp.asarray(True), jnp.asarray(True)),
+    )
+    dx = assembly.schur_solve(H, g, win_p.dim_x, lam)
+    from ic_gvins_tpu.solver.window import apply_delta
+
+    ref = apply_delta(win_p, dx)
+
+    out = schur.sharded_gn_step(win_p, prior, cfg, params, mesh, lam=lam)
+
+    np.testing.assert_allclose(out.nodes.p, ref.nodes.p, atol=2e-5)
+    np.testing.assert_allclose(out.nodes.v, ref.nodes.v, atol=2e-5)
+    # landmark updates match where free
+    free = np.asarray(
+        win_p.lm_valid & (jnp.sum(assembly.obs_mask(win_p), axis=1) > 0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.lm_invdepth)[free], np.asarray(ref.lm_invdepth)[free],
+        atol=1e-5,
+    )
+
+
+def test_multi_sequence_batch_matches_sequential(mesh):
+    wins, prs = [], []
+    for seed in (41, 42):
+        win, truth, params, traj, lms, invd = build_gvins_window(
+            n_nodes=6, n_landmarks=24, seed=seed
+        )
+        cfg = default_cfg()
+        pose_std, mix_std = std_priors()
+        wins.append(perturb_window(win, 6, jax.random.PRNGKey(seed), dp=0.1))
+        prs.append(make_init_prior(win, pose_std, mix_std))
+
+    batch_w = multi_seq.stack_windows(wins)
+    batch_p = multi_seq.stack_priors(prs)
+    out, (c0, c1, _) = multi_seq.optimize_batch(batch_w, batch_p, cfg, params, iters=8)
+
+    for i in range(2):
+        ref, _ = lm.optimize(wins[i], prs[i], cfg, params, iters=8)
+        np.testing.assert_allclose(
+            np.asarray(out.nodes.p[i]), np.asarray(ref.nodes.p), atol=1e-8
+        )
+        assert float(c1[i]) < float(c0[i])
