@@ -69,11 +69,12 @@ def car_trajectory(
         return jnp.stack([x, y, z])
 
     def euler(t):
-        # Yaw follows the path tangent; roll/pitch small oscillations.
+        # Yaw follows the path tangent; roll/pitch small oscillations
+        # (car-realistic: a few tenths of a degree).
         w = 2 * jnp.pi / turn_period
         yw = jnp.arctan2(turn_amp * jnp.sin(w * t), 1.0)
-        r = 0.02 * jnp.sin(2 * jnp.pi * t / 11.0)
-        p = 0.01 * jnp.sin(2 * jnp.pi * t / 5.0)
+        r = 0.005 * jnp.sin(2 * jnp.pi * t / 11.0)
+        p = 0.004 * jnp.sin(2 * jnp.pi * t / 5.0)
         return jnp.stack([r, p, yw])
 
     return Trajectory(pos=pos, euler=euler)
@@ -259,6 +260,45 @@ def project_landmarks(
     if key is not None and noise_std > 0:
         uv = uv + noise_std * jax.random.normal(key, uv.shape)
     return uv, vis
+
+
+def render_sprite_frame(
+    cam_intrinsic: tuple,
+    resolution: tuple,
+    landmarks: jax.Array,  # [L,3] world points
+    t_wc: jax.Array,
+    q_wc: jax.Array,
+    sprite_sigma: float = 1.6,
+    base_level: float = 24.0,
+):
+    """Render a synthetic camera image of a 3D point-sprite field: each
+    landmark becomes a Gaussian blob whose brightness falls with depth.
+    Gives the KLT front-end realistic, perspective-consistent imagery
+    without needing real data (zero-egress environment)."""
+    import jax.numpy as jnp
+
+    fx, fy, cx, cy = cam_intrinsic[:4]
+    w, h = resolution
+    pc = jax.vmap(lambda pw: rot.quat_rotate(rot.quat_inv(q_wc), pw - t_wc))(
+        landmarks
+    )
+    z = pc[:, 2]
+    vis = z > 1.0
+    u = fx * pc[:, 0] / jnp.where(vis, z, 1.0) + cx
+    v = fy * pc[:, 1] / jnp.where(vis, z, 1.0) + cy
+    amp = jnp.where(vis, 200.0 / jnp.sqrt(jnp.maximum(z, 1.0)), 0.0)
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    def add_blob(img, i):
+        d2 = (ys - v[i]) ** 2 + (xs - u[i]) ** 2
+        blob = amp[i] * jnp.exp(-d2 / (2 * sprite_sigma**2))
+        return img + blob.astype(jnp.float32), None
+
+    img, _ = jax.lax.scan(add_blob, jnp.full((h, w), base_level, jnp.float32),
+                          jnp.arange(landmarks.shape[0]))
+    return jnp.clip(img, 0.0, 255.0)
 
 
 def default_params(

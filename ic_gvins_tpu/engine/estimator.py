@@ -225,11 +225,16 @@ class Estimator:
             jnp.asarray(dth), jnp.asarray(dv), rate,
             cfg.zupt_gyr_threshold, cfg.zupt_acc_threshold,
         )
-        is_zv = bool(is_zv)
         mean = np.asarray(mean)
         g = cfg.gravity
 
         vel_gnss = (p1 - p0) / (t1 - t0)
+        # ZUPT must agree with GNSS: smooth constant-rate motion can fool a
+        # windowed-std detector (mean rotation/acceleration is removed), so
+        # a displacing antenna vetoes the static hypothesis.
+        is_zv = bool(is_zv) and (
+            np.linalg.norm(vel_gnss) < 0.5 * cfg.min_align_velocity
+        )
         if is_zv:
             bg = mean[:3] * rate  # increments -> rate
             fb = mean[3:] * rate
@@ -272,6 +277,11 @@ class Estimator:
         bg_std = (
             float(self.params.gyr_bias_std) * 3 if is_zv else self.cfg.gyr_bias_prior_std
         )
+        # Attitude prior 0.5 deg roll/pitch, 3x for heading — the reference's
+        # constructPrior values (ic_gvins.cc:2005-2036). A *tight* prior is
+        # deliberate: a loose heading prior lets the optimizer fall into the
+        # local minimum where yaw freezes and the z gyro bias absorbs the
+        # whole yaw rate.
         pose_std = jnp.array([0.1, 0.1, 0.1, 0.5 * D2R, 0.5 * D2R, 1.5 * D2R])
         mix_std = jnp.array([0.1] * 3 + [bg_std] * 3 + [self.cfg.acc_bias_prior_std] * 3)
         self.prior = make_init_prior(self.window, pose_std, mix_std)
@@ -397,12 +407,12 @@ class Estimator:
         self._add_time_node(t, is_kf=True)
         n = self.n_nodes - 1
         w = self.window
-        obs_uv = np.asarray(w.obs_uv)
-        obs_vel = np.asarray(w.obs_vel)
-        obs_valid = np.asarray(w.obs_valid)
-        lm_ref = np.asarray(w.lm_ref)
-        lm_valid = np.asarray(w.lm_valid)
-        lm_invd = np.asarray(w.lm_invdepth)
+        obs_uv = np.array(w.obs_uv)
+        obs_vel = np.array(w.obs_vel)
+        obs_valid = np.array(w.obs_valid)
+        lm_ref = np.array(w.lm_ref)
+        lm_valid = np.array(w.lm_valid)
+        lm_invd = np.array(w.lm_invdepth)
 
         for fid, xy, vxy in zip(ids, uv, vel):
             slot = self.lm_slot.get(fid)
@@ -462,10 +472,10 @@ class Estimator:
         from ..vision.triangulation import triangulate_checked
 
         w = self.window
-        obs_valid = np.asarray(w.obs_valid)
-        lm_ref = np.asarray(w.lm_ref)
-        lm_valid = np.asarray(w.lm_valid)
-        lm_invd = np.asarray(w.lm_invdepth)
+        obs_valid = np.array(w.obs_valid)
+        lm_ref = np.array(w.lm_ref)
+        lm_valid = np.array(w.lm_valid)
+        lm_invd = np.array(w.lm_invdepth)
         cand = [
             l
             for l in range(w.n_landmarks)
@@ -504,9 +514,14 @@ class Estimator:
     # ------------------------------------------------------------------
 
     def _optimize_round(self):
+        # initialization phase: longer solve, no chi2 culling
+        # (gvinsInitializationOptimization, ic_gvins.cc:728-756 runs <=50
+        # iterations; culling starts with the full fusion)
+        warming_up = self.n_nodes < 6
         self.window, stats = lm_mod.optimize(
             self.window, self.prior, self.solver_cfg, self.params,
-            iters=self.cfg.optimize_num_iterations,
+            iters=(30 if warming_up else self.cfg.optimize_num_iterations),
+            do_cull=not warming_up,
         )
         s1, s2, ncull = stats
         self.stats.append(

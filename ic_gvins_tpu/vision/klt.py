@@ -120,8 +120,10 @@ def lk_track(pyr0, pyr1, pts0, pts1_init, valid):
     levels = len(pyr0)
 
     def one(pt0, pt1i, ok_in):
+        # all LK math runs in f32 (image dtype), regardless of caller dtype
+        pt0 = pt0.astype(jnp.float32)
         scale = 2.0 ** (levels - 1)
-        pt1 = pt1i / scale
+        pt1 = pt1i.astype(jnp.float32) / scale
         ok = ok_in
         for lv in range(levels - 1, -1, -1):
             s = 2.0**lv

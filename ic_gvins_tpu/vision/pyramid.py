@@ -10,8 +10,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# OpenCV pyrDown 5-tap kernel [1 4 6 4 1]/16.
-_K5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+# OpenCV pyrDown 5-tap kernel [1 4 6 4 1]/16 (plain floats: keeps the
+# image dtype — a jnp constant would promote f32 images to f64 under x64).
+_K5 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
 def _blur5(img: jax.Array) -> jax.Array:
