@@ -49,6 +49,8 @@ def car_trajectory(
     turn_period: float = 60.0,
     turn_amp: float = 0.6,
     bump_amp: float = 0.05,
+    roll_amp: float = 0.005,
+    pitch_amp: float = 0.004,
 ) -> Trajectory:
     """A smooth car-like run: forward at ~speed with serpentine heading and
     small roll/pitch perturbations — shaped after the KAIST urban drives
@@ -73,8 +75,8 @@ def car_trajectory(
         # (car-realistic: a few tenths of a degree).
         w = 2 * jnp.pi / turn_period
         yw = jnp.arctan2(turn_amp * jnp.sin(w * t), 1.0)
-        r = 0.005 * jnp.sin(2 * jnp.pi * t / 11.0)
-        p = 0.004 * jnp.sin(2 * jnp.pi * t / 5.0)
+        r = roll_amp * jnp.sin(2 * jnp.pi * t / 11.0)
+        p = pitch_amp * jnp.sin(2 * jnp.pi * t / 5.0)
         return jnp.stack([r, p, yw])
 
     return Trajectory(pos=pos, euler=euler)

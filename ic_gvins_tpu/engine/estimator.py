@@ -533,6 +533,7 @@ class Estimator:
                 n_nodes=self.n_nodes,
             )
         )
+        self._maybe_reintegrate()
         # refresh mechanization origin from the newest optimized node
         self.last_node_state = self.window.nodes.index(self.n_nodes - 1)
         self._log_pose()
@@ -545,6 +546,36 @@ class Estimator:
         ):
             self._marginalize_oldest()
 
+    def _maybe_reintegrate(self):
+        """Re-preintegrate intervals whose bias linearization drifted more
+        than 6 sigma from the current estimate (parity ``doReintegration``,
+        ic_gvins.cc:1715-1737; threshold from the noise model)."""
+        w = self.window
+        n = self.n_nodes
+        if n < 2:
+            return
+        bg_ref = np.asarray(w.preint.bg_ref[: n - 1])
+        ba_ref = np.asarray(w.preint.ba_ref[: n - 1])
+        bg_now = np.asarray(w.nodes.bg[: n - 1])
+        ba_now = np.asarray(w.nodes.ba[: n - 1])
+        sg = 6.0 * float(self.params.gyr_bias_std)
+        sa = 6.0 * float(self.params.acc_bias_std)
+        drift = (np.linalg.norm(bg_now - bg_ref, axis=1) > sg) | (
+            np.linalg.norm(ba_now - ba_ref, axis=1) > sa
+        )
+        if not drift.any():
+            return
+        for i in np.nonzero(drift)[0]:
+            t0, t1 = self.node_times[i], self.node_times[i + 1]
+            imu = self.imu.slice_between(t0, t1, self.cfg.max_imu_per_interval)
+            state_i = self.window.nodes.index(int(i))
+            data = pre.preintegrate(self.params, state_i, imu)
+            self.window = self.window._replace(
+                preint=jax.tree.map(
+                    lambda full, x: full.at[int(i)].set(x), self.window.preint, data
+                )
+            )
+
     def _marginalize_oldest(self):
         dead_slots = [
             s for fid, s in self.lm_slot.items()
@@ -556,6 +587,9 @@ class Estimator:
         was_kf = self.node_is_kf.pop(0)
         self.node_times.pop(0)
         self.n_nodes -= 1
+        # trim the IMU buffer to the window head (bounded memory; the
+        # reference keeps MAXIMUM_INS_NUMBER samples, ic_gvins.h:124)
+        self.imu.drop_before(self.node_times[0] - 0.05)
         if was_kf:
             self.n_keyframes -= 1
         # free landmark slots that died with the marginalized anchor

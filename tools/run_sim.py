@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Replay runner: synthetic GNSS/IMU(/camera) sequence -> engine -> outputs.
+
+The offline analog of the reference's ROS node + rosbag replay
+(``fusion_ros.cc``): builds a sensor stream, feeds the estimator in time
+order, writes reference-format result files (gvins.nav, trajectory.csv,
+IMU_ERR.txt, statistics.txt), and reports ATE against the simulator truth.
+
+Supports the reference's GNSS-outage fault injection
+(``--gnss-outage-time``, parity ``fusion_ros.cc:199-211``).
+
+Usage:
+    python tools/run_sim.py --duration 30 --vision --out runs/demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=30.0)
+    ap.add_argument("--vision", action="store_true")
+    ap.add_argument("--gnss-std", type=float, default=0.05)
+    ap.add_argument("--gnss-outage-time", type=float, default=None)
+    ap.add_argument("--imu-rate", type=float, default=200.0)
+    ap.add_argument("--frame-rate", type=float, default=10.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="runs/sim")
+    ap.add_argument("--landmarks", type=int, default=96)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from test_estimator import run_sequence, small_cfg, ate
+
+    from ic_gvins_tpu.data import simulator as sim
+    from ic_gvins_tpu.engine.outputs import RunWriter
+
+    cfg = small_cfg()
+    t0 = time.perf_counter()
+    est, traj, params = run_sequence(
+        cfg,
+        duration=args.duration,
+        with_vision=args.vision,
+        gnss_std=args.gnss_std,
+        seed=args.seed,
+        imu_rate=args.imu_rate,
+        frame_rate=args.frame_rate,
+        n_landmarks=args.landmarks,
+        gnss_until=args.gnss_outage_time,
+    )
+    wall = time.perf_counter() - t0
+
+    writer = RunWriter(args.out)
+    times, ps, qs = est.trajectory()
+    from ic_gvins_tpu.data.types import NavState
+
+    for t, p, q in zip(times, ps, qs):
+        state = est.window.nodes.index(0)._replace(
+            time=jnp.asarray(t), p=jnp.asarray(p), q=jnp.asarray(q)
+        )
+        writer.write_nav(state, decimate=1)
+    for row in est.stats:
+        writer.write_statistics(row)
+    writer.write_extrinsic(
+        times[-1] if len(times) else 0.0, est.window.ext_p, est.window.ext_q,
+        est.window.td,
+    )
+    writer.close()
+
+    rmse, mx = ate(est, traj, params, t_min=5.0)
+    n_frames = len(times)
+    result = dict(
+        ate_rmse_m=round(rmse, 4),
+        ate_max_m=round(mx, 4),
+        nodes_processed=n_frames,
+        wall_s=round(wall, 2),
+        nodes_per_s=round(n_frames / wall, 2),
+        state=est.state,
+        outdir=args.out,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
