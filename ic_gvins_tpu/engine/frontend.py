@@ -35,11 +35,15 @@ from ..vision.pyramid import build_pyramid
 
 class Frontend:
     def __init__(self, cam: cam_mod.Camera, max_features: int = 200,
-                 pyramid_levels: int = 3, cell: int = 64):
+                 pyramid_levels: int = 3, cell: int = 64,
+                 use_pallas: bool | None = None):
         self.cam = cam
         self.max_features = max_features
         self.levels = pyramid_levels
         self.cell = cell
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
 
         self.prev_pyr = None
         self.prev_time = None
@@ -72,10 +76,18 @@ class Frontend:
 
         if self.prev_pyr is not None and self.valid.any():
             pred = self._predict_rotation(q_wc)
-            pts1, ok, _ = lk_track_bidirectional(
-                self.prev_pyr, pyr,
-                jnp.asarray(self.pts), pred, jnp.asarray(self.valid),
-            )
+            if self.use_pallas:
+                from ..vision.klt_pallas import lk_track_bidirectional_pallas
+
+                pts1, ok, _ = lk_track_bidirectional_pallas(
+                    self.prev_pyr, pyr,
+                    jnp.asarray(self.pts), pred, jnp.asarray(self.valid),
+                )
+            else:
+                pts1, ok, _ = lk_track_bidirectional(
+                    self.prev_pyr, pyr,
+                    jnp.asarray(self.pts), pred, jnp.asarray(self.valid),
+                )
             pts1 = np.asarray(pts1)
             ok = np.asarray(ok) & self.valid
             dt = max(t - self.prev_time, 1e-3)

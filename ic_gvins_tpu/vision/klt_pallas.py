@@ -1,21 +1,24 @@
 """Pallas TPU kernel for batched pyramidal Lucas-Kanade tracking.
 
-TPU-native design (vs the pure-JAX reference implementation in ``klt.py``,
-which lowers to per-feature HBM gathers):
+TPU-native design (vs the pure-JAX tracker in ``klt.py``, which lowers to
+per-feature HBM gathers):
 
-* grid = one program per feature; the feature's coordinates arrive via
-  scalar prefetch (SMEM) so the kernel can compute DMA indices,
+* grid = one program per feature; feature coordinates arrive via scalar
+  prefetch (SMEM) so the kernel can compute DMA indices,
 * each program DMAs one aligned search window per image (64 x 128 f32 =
   32 KB) from HBM into VMEM scratch — one sequential burst instead of
   thousands of random gathers,
-* bilinear patch sampling is expressed as a blend of four statically-shaped
-  dynamic slices of the VMEM window (VPU-friendly, no gather),
+* patch extraction is fully tile-aligned: a 32-row dynamic sublane slice,
+  a dynamic lane rotate (``pltpu.roll``) for the column offset, and static
+  rolls for the +-1 bilinear/gradient taps; reductions are masked to the
+  21x21 window on the full (32, 128) tile (VPU-friendly, no unaligned
+  vector loads),
 * the LK normal equations (2x2) are solved in scalar registers; the
   iteration loop is a fixed-trip ``fori_loop`` with a convergence freeze.
 
-The public entry ``lk_track_pallas`` mirrors ``klt.lk_track`` and is used
-by the front-end when running on TPU; CPU tests exercise it in interpreter
-mode for parity with the pure-JAX tracker.
+Pyramid levels smaller than the (64, 128) footprint (the coarse top levels,
+negligible compute) fall back to the pure-JAX tracker; level 0 — where all
+the work is — always runs the Pallas path on TPU.
 """
 
 from __future__ import annotations
@@ -33,90 +36,110 @@ MAX_ITERS = 30
 EPS_STEP = 0.01
 MIN_EIG = 1e-4
 
-# VMEM search window per feature (rows x lanes). 64 x 128 covers ~±20 px
-# vertical and ~±50 px horizontal slack around the initial guess.
-RROWS = 64
-RCOLS = 128
-_CY = RROWS // 2
-_CX = RCOLS // 2
+RROWS = 64  # VMEM search window rows per feature
+RCOLS = 256  # VMEM search window lanes per feature (two 128-lane tiles)
+TILE_R = 32  # aligned working-tile rows (multiple of 8)
 
 
-def _bilinear_patch(win, iy, ix, ay, ax, size):
-    """size x size patch at integer corner (iy, ix) + fractional (ay, ax),
-    as a 4-slice blend (all slices statically shaped)."""
-    p00 = win[pl.ds(iy, size), pl.ds(ix, size)]
-    p01 = win[pl.ds(iy, size), pl.ds(ix + 1, size)]
-    p10 = win[pl.ds(iy + 1, size), pl.ds(ix, size)]
-    p11 = win[pl.ds(iy + 1, size), pl.ds(ix + 1, size)]
+def _mask(size):
+    r = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, RCOLS), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, RCOLS), 1)
+    return ((r < size) & (c < size)).astype(jnp.float32)
+
+
+def _aligned_block(win, iy, ix):
+    """(TILE_R, RCOLS) tile whose [u, v] element is win[iy + u, ix + v]
+    (valid for u < TILE_R - clip overflow, v < RCOLS - roll wrap; callers
+    mask to the patch region). All accesses tile-aligned."""
+    # Mosaic requires the dynamic sublane start to be 8-aligned: round the
+    # base down to a multiple of 8 and absorb the remainder into the roll.
+    iyb = jnp.clip((iy // 8) * 8, 0, RROWS - TILE_R)
+    iyb = pl.multiple_of(iyb, 8)
+    oy = iy - iyb
+    rows = win[pl.ds(iyb, TILE_R), :]
+    # pltpu.roll requires non-negative shifts: roll by (size - off) == -off
+    rows = pltpu.roll(rows, (TILE_R - oy) % TILE_R, axis=0)
+    return pltpu.roll(rows, (RCOLS - ix) % RCOLS, axis=1)
+
+
+def _bilinear_tile(block, ay, ax):
+    """Full-tile bilinear blend: out[u,v] = bilinear(block at (u+ay, v+ax))."""
+    b01 = pltpu.roll(block, RCOLS - 1, axis=1)
+    b10 = pltpu.roll(block, TILE_R - 1, axis=0)
+    b11 = pltpu.roll(b10, RCOLS - 1, axis=1)
     return (
-        p00 * (1 - ay) * (1 - ax)
-        + p01 * (1 - ay) * ax
-        + p10 * ay * (1 - ax)
-        + p11 * ay * ax
+        block * (1 - ay) * (1 - ax)
+        + b01 * (1 - ay) * ax
+        + b10 * ay * (1 - ax)
+        + b11 * ay * ax
     )
 
 
 def _split(v, lo, hi):
-    """float coord -> (clamped int corner, fraction) for a patch of HALF
-    reach inside the window."""
     i = jnp.floor(v).astype(jnp.int32)
     i = jnp.clip(i, lo, hi)
     return i, v - i.astype(jnp.float32)
 
 
 def _kernel(pts_ref, img0_ref, img1_ref, out_pts_ref, out_ok_ref,
-            win0, win1, sem, *, rrows, rcols):
+            win0, win1, sem):
     f = pl.program_id(0)
     h = img0_ref.shape[0]
     w = img0_ref.shape[1]
-    cy, cx = rrows // 2, rcols // 2
 
     x0 = pts_ref[f, 0]
     y0 = pts_ref[f, 1]
     x1 = pts_ref[f, 2]
     y1 = pts_ref[f, 3]
 
-    def clamp_base(c, center, dim, span):
-        b = jnp.round(c).astype(jnp.int32) - center
-        return jnp.clip(b, 0, dim - span)
+    def clamp_base(c, center, dim, span, align):
+        # DMA slice starts must be provably tile-aligned
+        b = (jnp.round(c).astype(jnp.int32) - center) // align * align
+        return pl.multiple_of(jnp.clip(b, 0, dim - span), align)
 
-    bx0 = clamp_base(x0, cx, w, rcols)
-    by0 = clamp_base(y0, cy, h, rrows)
-    bx1 = clamp_base(x1, cx, w, rcols)
-    by1 = clamp_base(y1, cy, h, rrows)
+    # 128-aligned lane base offset by 64 keeps the feature >=64 lanes from
+    # the window edge; 8-aligned row base likewise
+    bx0 = clamp_base(x0, 64, w, RCOLS, 128)
+    by0 = clamp_base(y0, RROWS // 2, h, RROWS, 8)
+    bx1 = clamp_base(x1, 64, w, RCOLS, 128)
+    by1 = clamp_base(y1, RROWS // 2, h, RROWS, 8)
 
     dma0 = pltpu.make_async_copy(
-        img0_ref.at[pl.ds(by0, rrows), pl.ds(bx0, rcols)], win0, sem.at[0]
+        img0_ref.at[pl.ds(by0, RROWS), pl.ds(bx0, RCOLS)], win0, sem.at[0]
     )
     dma1 = pltpu.make_async_copy(
-        img1_ref.at[pl.ds(by1, rrows), pl.ds(bx1, rcols)], win1, sem.at[1]
+        img1_ref.at[pl.ds(by1, RROWS), pl.ds(bx1, RCOLS)], win1, sem.at[1]
     )
     dma0.start()
     dma1.start()
     dma0.wait()
     dma1.wait()
 
-    # --- template patch + gradients in win0 local coords ---
+    m21 = _mask(WIN)
+
+    # --- template patch + gradients (win0 local coords) ---
     lx0 = x0 - bx0.astype(jnp.float32)
     ly0 = y0 - by0.astype(jnp.float32)
-    # gradient patch needs one extra ring: corner at (iy-1, ix-1), size 23
-    ix0, ax0 = _split(lx0 - HALF, 1, rcols - WIN - 2)
-    iy0, ay0 = _split(ly0 - HALF, 1, rrows - WIN - 2)
-    big = _bilinear_patch(win0, iy0 - 1, ix0 - 1, ay0, ax0, WIN + 2)
-    t = big[1:-1, 1:-1]
-    gx = 0.5 * (big[1:-1, 2:] - big[1:-1, :-2])
-    gy = 0.5 * (big[2:, 1:-1] - big[:-2, 1:-1])
+    ix0, ax0 = _split(lx0 - HALF, 1, RCOLS - WIN - 2)
+    iy0, ay0 = _split(ly0 - HALF, 1, RROWS - WIN - 2)
+    # B[u, v] = bilinear(win0 at (iy0-1+u+ay0, ix0-1+v+ax0))
+    big = _bilinear_tile(_aligned_block(win0, iy0 - 1, ix0 - 1), ay0, ax0)
+    br1 = pltpu.roll(big, TILE_R - 1, axis=0)
+    bc1 = pltpu.roll(big, RCOLS - 1, axis=1)
+    t = pltpu.roll(br1, RCOLS - 1, axis=1)  # patch at (+1, +1)
+    gx = 0.5 * (pltpu.roll(br1, RCOLS - 2, axis=1) - br1)
+    gy = 0.5 * (pltpu.roll(bc1, TILE_R - 2, axis=0) - bc1)
 
-    gxx = jnp.sum(gx * gx)
-    gxy = jnp.sum(gx * gy)
-    gyy = jnp.sum(gy * gy)
+    gxx = jnp.sum(gx * gx * m21)
+    gxy = jnp.sum(gx * gy * m21)
+    gyy = jnp.sum(gy * gy * m21)
     det = gxx * gyy - gxy * gxy
     tr = gxx + gyy
     min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / (WIN * WIN)
     good = min_eig > MIN_EIG
     inv = jnp.where(det > 1e-12, 1.0 / jnp.where(det > 1e-12, det, 1.0), 0.0)
 
-    # --- iterate in win1 local coords ---
+    # --- iterate (win1 local coords) ---
     lx1 = x1 - bx1.astype(jnp.float32)
     ly1 = y1 - by1.astype(jnp.float32)
 
@@ -127,16 +150,16 @@ def _kernel(pts_ref, img0_ref, img1_ref, out_pts_ref, out_ok_ref,
 
     def in_bounds_local(px, py):
         return (
-            (px >= HALF) & (px <= rcols - HALF - 2)
-            & (py >= HALF) & (py <= rrows - HALF - 2)
+            (px >= HALF) & (px <= RCOLS - HALF - 2)
+            & (py >= HALF) & (py <= RROWS - HALF - 2)
         )
 
     def body(_, carry):
         px, py, done = carry
-        ix, ax = _split(px - HALF, 0, rcols - WIN - 1)
-        iy, ay = _split(py - HALF, 0, rrows - WIN - 1)
-        patch = _bilinear_patch(win1, iy, ix, ay, ax, WIN)
-        diff = patch - t
+        ix, ax = _split(px - HALF, 0, RCOLS - WIN - 1)
+        iy, ay = _split(py - HALF, 0, RROWS - WIN - 1)
+        patch = _bilinear_tile(_aligned_block(win1, iy, ix), ay, ax)
+        diff = (patch - t) * m21
         b1 = jnp.sum(diff * gx)
         b2 = jnp.sum(diff * gy)
         dx = -inv * (gyy * b1 - gxy * b2)
@@ -149,16 +172,16 @@ def _kernel(pts_ref, img0_ref, img1_ref, out_pts_ref, out_ok_ref,
         return px_n, py_n, done_n
 
     ok0 = good & in0 & in_bounds_local(lx1, ly1)
-    px, py, _ = jax.lax.fori_loop(
-        0, MAX_ITERS, body, (lx1, ly1, ~ok0)
-    )
+    px, py, _ = jax.lax.fori_loop(0, MAX_ITERS, body, (lx1, ly1, ~ok0))
 
     gx1 = px + bx1.astype(jnp.float32)
     gy1 = py + by1.astype(jnp.float32)
-    ok = ok0 & (gx1 >= HALF) & (gx1 <= w - 1 - HALF) & (gy1 >= HALF) & (gy1 <= h - 1 - HALF)
+    ok = (
+        ok0
+        & (gx1 >= HALF) & (gx1 <= w - 1 - HALF)
+        & (gy1 >= HALF) & (gy1 <= h - 1 - HALF)
+    )
 
-    # per-feature scalar results go to SMEM (VMEM blocks would need
-    # (8,128)-aligned tiles; scalars belong in SMEM anyway)
     out_pts_ref[f, 0] = gx1
     out_pts_ref[f, 1] = gy1
     out_ok_ref[f, 0] = ok.astype(jnp.int32)
@@ -167,9 +190,6 @@ def _kernel(pts_ref, img0_ref, img1_ref, out_pts_ref, out_ok_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _track_level_pallas(img0, img1, pts4, interpret=False):
     n = pts4.shape[0]
-    # search-window footprint adapts to small pyramid levels
-    rrows = min(RROWS, img0.shape[0])
-    rcols = min(RCOLS, img0.shape[1])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
@@ -182,13 +202,13 @@ def _track_level_pallas(img0, img1, pts4, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rrows, rcols), jnp.float32),
-            pltpu.VMEM((rrows, rcols), jnp.float32),
+            pltpu.VMEM((RROWS, RCOLS), jnp.float32),
+            pltpu.VMEM((RROWS, RCOLS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out_pts, out_ok = pl.pallas_call(
-        functools.partial(_kernel, rrows=rrows, rcols=rcols),
+        _kernel,
         out_shape=(
             jax.ShapeDtypeStruct((n, 2), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
@@ -199,8 +219,11 @@ def _track_level_pallas(img0, img1, pts4, interpret=False):
     return out_pts, out_ok[:, 0] > 0
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def lk_track_pallas(pyr0, pyr1, pts0, pts1_init, valid, interpret=False):
-    """Pyramidal LK over all levels; same contract as ``klt.lk_track``."""
+    """Pyramidal LK over all levels; same contract as ``klt.lk_track``.
+    One jitted program: all levels (Pallas + small-level fallbacks) fuse
+    into a single dispatch."""
     levels = len(pyr0)
     pts0 = pts0.astype(jnp.float32)
     pts1 = pts1_init.astype(jnp.float32) / (2.0 ** (levels - 1))
@@ -210,15 +233,24 @@ def lk_track_pallas(pyr0, pyr1, pts0, pts1_init, valid, interpret=False):
         if lv < levels - 1:
             pts1 = pts1 * 2.0
         pts4 = jnp.concatenate([pts0 / s, pts1], axis=1)
-        pts1_new, ok_lv = _track_level_pallas(
-            pyr0[lv], pyr1[lv], pts4, interpret=interpret
-        )
+        h, w = pyr0[lv].shape
+        # pad small (coarse) levels up to the kernel footprint with edge
+        # replication so every level runs the Pallas path — the gather-based
+        # fallback is ~100x slower on TPU
+        if h < RROWS or w < RCOLS:
+            ph, pw = max(RROWS - h, 0), max(RCOLS - w, 0)
+            i0 = jnp.pad(pyr0[lv], ((0, ph), (0, pw)), mode="edge")
+            i1 = jnp.pad(pyr1[lv], ((0, ph), (0, pw)), mode="edge")
+        else:
+            i0, i1 = pyr0[lv], pyr1[lv]
+        pts1_new, ok_lv = _track_level_pallas(i0, i1, pts4, interpret=interpret)
         pts1 = pts1_new
         if lv == 0:
             ok = ok & ok_lv
     return pts1, ok
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def lk_track_bidirectional_pallas(pyr0, pyr1, pts0, pts1_init, valid,
                                   fb_thresh=0.5, interpret=False):
     pts1, ok_f = lk_track_pallas(pyr0, pyr1, pts0, pts1_init, valid, interpret)
