@@ -39,11 +39,12 @@ MIN_EIG = 1e-4
 RROWS = 64  # VMEM search window rows per feature
 RCOLS = 256  # VMEM search window lanes per feature (two 128-lane tiles)
 TILE_R = 32  # aligned working-tile rows (multiple of 8)
+TILE_C = 128  # aligned compute-tile lanes (patch + taps fit in 24)
 
 
 def _mask(size):
-    r = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, RCOLS), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, RCOLS), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 1)
     return ((r < size) & (c < size)).astype(jnp.float32)
 
 
@@ -59,14 +60,16 @@ def _aligned_block(win, iy, ix):
     rows = win[pl.ds(iyb, TILE_R), :]
     # pltpu.roll requires non-negative shifts: roll by (size - off) == -off
     rows = pltpu.roll(rows, (TILE_R - oy) % TILE_R, axis=0)
-    return pltpu.roll(rows, (RCOLS - ix) % RCOLS, axis=1)
+    # after the lane roll the patch occupies lanes [0, 24); keep one
+    # 128-lane tile for all downstream VPU work (2x less elementwise math)
+    return pltpu.roll(rows, (RCOLS - ix) % RCOLS, axis=1)[:, :TILE_C]
 
 
 def _bilinear_tile(block, ay, ax):
     """Full-tile bilinear blend: out[u,v] = bilinear(block at (u+ay, v+ax))."""
-    b01 = pltpu.roll(block, RCOLS - 1, axis=1)
+    b01 = pltpu.roll(block, TILE_C - 1, axis=1)
     b10 = pltpu.roll(block, TILE_R - 1, axis=0)
-    b11 = pltpu.roll(b10, RCOLS - 1, axis=1)
+    b11 = pltpu.roll(b10, TILE_C - 1, axis=1)
     return (
         block * (1 - ay) * (1 - ax)
         + b01 * (1 - ay) * ax
@@ -125,9 +128,9 @@ def _kernel(pts_ref, img0_ref, img1_ref, out_pts_ref, out_ok_ref,
     # B[u, v] = bilinear(win0 at (iy0-1+u+ay0, ix0-1+v+ax0))
     big = _bilinear_tile(_aligned_block(win0, iy0 - 1, ix0 - 1), ay0, ax0)
     br1 = pltpu.roll(big, TILE_R - 1, axis=0)
-    bc1 = pltpu.roll(big, RCOLS - 1, axis=1)
-    t = pltpu.roll(br1, RCOLS - 1, axis=1)  # patch at (+1, +1)
-    gx = 0.5 * (pltpu.roll(br1, RCOLS - 2, axis=1) - br1)
+    bc1 = pltpu.roll(big, TILE_C - 1, axis=1)
+    t = pltpu.roll(br1, TILE_C - 1, axis=1)  # patch at (+1, +1)
+    gx = 0.5 * (pltpu.roll(br1, TILE_C - 2, axis=1) - br1)
     gy = 0.5 * (pltpu.roll(bc1, TILE_R - 2, axis=0) - bc1)
 
     gxx = jnp.sum(gx * gx * m21)
@@ -172,7 +175,18 @@ def _kernel(pts_ref, img0_ref, img1_ref, out_pts_ref, out_ok_ref,
         return px_n, py_n, done_n
 
     ok0 = good & in0 & in_bounds_local(lx1, ly1)
-    px, py, _ = jax.lax.fori_loop(0, MAX_ITERS, body, (lx1, ly1, ~ok0))
+    # genuine early exit (the reference's OpenCV criteria stop at ~5
+    # iterations on converged features; a fixed 30-trip loop wastes 6x)
+    def cond(carry):
+        i, px, py, done = carry
+        return (~done) & (i < MAX_ITERS)
+
+    def wbody(carry):
+        i, px, py, done = carry
+        px, py, done = body(i, (px, py, done))
+        return i + 1, px, py, done
+
+    _, px, py, _ = jax.lax.while_loop(cond, wbody, (0, lx1, ly1, ~ok0))
 
     gx1 = px + bx1.astype(jnp.float32)
     gy1 = py + by1.astype(jnp.float32)

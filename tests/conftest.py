@@ -20,9 +20,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the engine compiles a handful of large
-# programs (optimize / marginalize per window geometry); caching them on
-# disk makes repeated test runs start in seconds instead of minutes.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NOTE: do NOT enable the persistent compilation cache here — XLA:CPU AOT
+# artifacts are machine-feature specific, and reloading them on a host with
+# a different feature set segfaults (observed in this environment).
