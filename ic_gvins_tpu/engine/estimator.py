@@ -514,23 +514,48 @@ class Estimator:
     # ------------------------------------------------------------------
 
     def _optimize_round(self):
+        import time as _time
+
         # initialization phase: longer solve, no chi2 culling
         # (gvinsInitializationOptimization, ic_gvins.cc:728-756 runs <=50
         # iterations; culling starts with the full fusion)
         warming_up = self.n_nodes < 6
+        t0 = _time.perf_counter()
         self.window, stats = lm_mod.optimize(
             self.window, self.prior, self.solver_cfg, self.params,
             iters=(30 if warming_up else self.cfg.optimize_num_iterations),
             do_cull=not warming_up,
         )
+        t_opt = _time.perf_counter() - t0
         s1, s2, ncull = stats
+        # per-keyframe statistics with reference parity
+        # (statistics.txt columns, ic_gvins.cc:964-1067: reprojection
+        # error min/max/mean/rms in pixels, iterations, time costs,
+        # outlier counts)
+        from ..solver.assembly import eval_reproj, obs_mask
+
+        r_v, _ = eval_reproj(self.window, self.solver_cfg)
+        m = np.asarray(obs_mask(self.window))
+        focal = 0.5 * (self.cfg.cam.intrinsic[0] + self.cfg.cam.intrinsic[1])
+        px_err = (
+            np.linalg.norm(np.asarray(r_v), axis=-1)
+            * float(self.solver_cfg.reproj_std) * focal
+        )
+        errs = px_err[m]
         self.stats.append(
             dict(
                 t=self.node_times[-1],
                 cost0=float(s1.cost0),
                 cost1=float(s2.cost1),
+                iterations=int(s1.accepted) + int(s2.accepted),
+                reproj_min=float(errs.min()) if errs.size else 0.0,
+                reproj_max=float(errs.max()) if errs.size else 0.0,
+                reproj_mean=float(errs.mean()) if errs.size else 0.0,
+                reproj_rms=float(np.sqrt((errs**2).mean())) if errs.size else 0.0,
+                n_obs=int(m.sum()),
                 culled=int(ncull),
                 n_nodes=self.n_nodes,
+                timecost_ms=round(t_opt * 1e3, 2),
             )
         )
         self._maybe_reintegrate()
@@ -612,6 +637,66 @@ class Estimator:
         self.traj_times.append(float(s.time))
         self.traj_p.append(np.asarray(s.p))
         self.traj_q.append(np.asarray(s.q))
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (new capability: the reference has none, §5.4 —
+    # a crash requires replaying the whole bag; here the fixed-shape window
+    # + prior + host bookkeeping serialize to one npz)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        import pickle
+
+        flat_w, tree_w = jax.tree.flatten(self.window)
+        flat_p, tree_p = jax.tree.flatten(self.prior)
+        state = dict(
+            window=[np.asarray(x) for x in flat_w],
+            prior=[np.asarray(x) for x in flat_p],
+            n_nodes=self.n_nodes,
+            node_times=self.node_times,
+            node_is_kf=self.node_is_kf,
+            n_keyframes=self.n_keyframes,
+            lm_slot=self.lm_slot,
+            free_slots=self.free_slots,
+            engine_state=self.state,
+            iewn=np.asarray(self.params.iewn),
+            last_node_state=[np.asarray(x) for x in jax.tree.leaves(self.last_node_state)]
+            if self.last_node_state is not None else None,
+            imu=(self.imu.time, self.imu.dt, self.imu.dtheta, self.imu.dvel),
+            traj=(self.traj_times, self.traj_p, self.traj_q),
+        )
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_checkpoint(self, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        _, tree_w = jax.tree.flatten(self.window)
+        _, tree_p = jax.tree.flatten(self.prior)
+        self.window = jax.tree.unflatten(
+            tree_w, [jnp.asarray(x) for x in state["window"]]
+        )
+        self.prior = jax.tree.unflatten(
+            tree_p, [jnp.asarray(x) for x in state["prior"]]
+        )
+        self.n_nodes = state["n_nodes"]
+        self.node_times = state["node_times"]
+        self.node_is_kf = state["node_is_kf"]
+        self.n_keyframes = state["n_keyframes"]
+        self.lm_slot = state["lm_slot"]
+        self.free_slots = state["free_slots"]
+        self.state = state["engine_state"]
+        self.params = self.params._replace(iewn=jnp.asarray(state["iewn"]))
+        if state["last_node_state"] is not None:
+            _, tree_s = jax.tree.flatten(NavState.zero())
+            self.last_node_state = jax.tree.unflatten(
+                tree_s, [jnp.asarray(x) for x in state["last_node_state"]]
+            )
+            self.cur_state = self.last_node_state
+        self.imu.time, self.imu.dt, self.imu.dtheta, self.imu.dvel = state["imu"]
+        self.traj_times, self.traj_p, self.traj_q = state["traj"]
 
     # ------------------------------------------------------------------
     # queries

@@ -36,7 +36,10 @@ from ..vision.pyramid import build_pyramid
 class Frontend:
     def __init__(self, cam: cam_mod.Camera, max_features: int = 200,
                  pyramid_levels: int = 3, cell: int = 64,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 use_clahe: bool = True,
+                 check_histogram: bool = False,
+                 histogram_threshold: float = 0.7):
         self.cam = cam
         self.max_features = max_features
         self.levels = pyramid_levels
@@ -44,6 +47,10 @@ class Frontend:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        self.use_clahe = use_clahe
+        self.check_histogram = check_histogram
+        self.histogram_threshold = histogram_threshold
+        self.prev_raw = None
 
         self.prev_pyr = None
         self.prev_time = None
@@ -71,8 +78,23 @@ class Frontend:
 
     def process(self, t: float, img, q_wc=None):
         """Track into the new frame. Returns (ids, uv_norm, vel_norm) of
-        currently tracked features (numpy, variable length)."""
-        pyr = build_pyramid(jnp.asarray(img), self.levels)
+        currently tracked features (numpy, variable length); returns the
+        previous observations unchanged when the histogram gate rejects an
+        illumination glitch (parity tracking.cc:115-133)."""
+        img = jnp.asarray(img)
+        if self.check_histogram and self.prev_raw is not None:
+            from ..vision.preprocess import histogram_correlation
+
+            corr = float(histogram_correlation(self.prev_raw, img))
+            if corr < self.histogram_threshold:
+                sel = self.valid
+                return self.ids[sel], self.uv_norm[sel].copy(), self.vel_norm[sel].copy()
+        self.prev_raw = img
+        if self.use_clahe:
+            from ..vision.preprocess import clahe
+
+            img = clahe(img)
+        pyr = build_pyramid(img, self.levels)
 
         if self.prev_pyr is not None and self.valid.any():
             pred = self._predict_rotation(q_wc)

@@ -162,15 +162,28 @@ def empty_prior(n_nodes: int, dtype=jnp.float64) -> Prior:
     )
 
 
-def make_init_prior(window: Window, pose_std6: jax.Array, mix_std9: jax.Array) -> Prior:
+def make_init_prior(
+    window: Window,
+    pose_std6: jax.Array,
+    mix_std9: jax.Array,
+    ext_std7: jax.Array | None = None,
+) -> Prior:
     """Initialization prior on node 0 expressed in the generic prior form
     r = e + J dx with e = 0 and J = diag(1/std) over node-0 dims — exactly
     the reference's pose/mix prior factors (``imu_pose_prior_factor.h``,
-    ``imu_mix_prior_factor.h``, constructed at ``ic_gvins.cc:2003-2038``)."""
+    ``imu_mix_prior_factor.h``, constructed at ``ic_gvins.cc:2003-2038``).
+
+    ``ext_std7`` optionally anchors the camera extrinsic + time delay
+    around the calibration values (the functional equivalent of the
+    reference's extrinsic sanity gate, ic_gvins.cc:1354-1360: without an
+    anchor the nearly-unobservable extrinsic translation can run away)."""
     dtype = window.nodes.p.dtype
     dx = window.dim_x
     stds = jnp.concatenate([pose_std6, mix_std9])
     diag = jnp.zeros(dx, dtype).at[:NODE_DOF].set(1.0 / stds)
+    if ext_std7 is not None:
+        n15 = window.n_nodes * NODE_DOF
+        diag = diag.at[n15 : n15 + EXT_DOF].set(1.0 / ext_std7)
     return Prior(
         J=jnp.diag(diag),
         e=jnp.zeros(dx, dtype),
