@@ -1,0 +1,57 @@
+"""Full GVINS pipeline: raw images + IMU + GNSS -> trajectory.
+
+The top-level integration the reference's ROS node provides
+(``fusion_ros.cc`` + the GVINS thread pipeline), as a deterministic host
+loop: IMU and GNSS go straight to the estimator; each camera frame is
+INS-predicted (``MISC::getCameraPoseFromInsWindow`` parity via
+``Estimator.predicted_state``), tracked by the KLT front-end, and the
+tracked normalized observations feed the estimator's keyframe logic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..common import rotation as rot
+from ..vision import camera as cam_mod
+from .config import EngineConfig
+from .estimator import Estimator
+from .frontend import Frontend
+
+
+class Pipeline:
+    def __init__(self, cfg: EngineConfig, use_pallas: bool | None = None,
+                 use_clahe: bool = True):
+        self.cfg = cfg
+        self.est = Estimator(cfg)
+        cam = cam_mod.Camera.create(
+            cfg.cam.intrinsic, cfg.cam.distortion, cfg.cam.resolution
+        )
+        self.frontend = Frontend(
+            cam,
+            max_features=cfg.track_max_features,
+            use_pallas=use_pallas,
+            use_clahe=use_clahe,
+            check_histogram=False,
+        )
+
+    def add_imu(self, t, dt, dtheta, dvel):
+        self.est.add_imu(t, dt, dtheta, dvel)
+
+    def add_gnss(self, t, p_local, std):
+        self.est.add_gnss(t, p_local, std)
+
+    def add_image(self, t, img):
+        """Track the frame and feed observations to the estimator."""
+        q_wc = None
+        state = self.est.predicted_state(t)
+        if state is not None:
+            import jax.numpy as jnp
+
+            q_wc = rot.quat_mul(state.q, self.est.window.ext_q)
+        ids, uv, vel = self.frontend.process(t, img, q_wc=q_wc)
+        if self.est.state != 0 and len(ids):
+            self.est.add_frame_observations(t, ids, uv, vel)
+
+    def trajectory(self):
+        return self.est.trajectory()
