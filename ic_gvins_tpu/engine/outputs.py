@@ -63,6 +63,12 @@ class RunWriter:
             self._stat.write("# " + " ".join(keys) + "\n")
         self._stat.write(" ".join(str(row[k]) for k in keys) + "\n")
 
+    def write_tracking(self, t, n_tracked, n_new, cost_ms=0.0):
+        """Per-frame tracking log (parity tracking.txt, ``tracking.cc:297-315``)."""
+        if not hasattr(self, "_track"):
+            self._track = open(os.path.join(self.outdir, "tracking.txt"), "w")
+        self._track.write(f"{t:.9f} {n_tracked} {n_new} {cost_ms:.3f}\n")
+
     def write_extrinsic(self, t, ext_p, ext_q, td):
         import jax.numpy as jnp
 
@@ -73,6 +79,9 @@ class RunWriter:
         )
 
     def close(self):
-        for f in (self._nav, self._err, self._traj, self._stat, self._ext):
+        files = [self._nav, self._err, self._traj, self._stat, self._ext]
+        if hasattr(self, "_track"):
+            files.append(self._track)
+        for f in files:
             f.flush()
             f.close()

@@ -69,9 +69,11 @@ def main():
     times, ps, qs = est.trajectory()
     from ic_gvins_tpu.data.types import NavState
 
+    zero3 = jnp.zeros(3)
     for t, p, q in zip(times, ps, qs):
-        state = est.window.nodes.index(0)._replace(
-            time=jnp.asarray(t), p=jnp.asarray(p), q=jnp.asarray(q)
+        state = NavState(
+            time=jnp.asarray(t), p=jnp.asarray(p), q=jnp.asarray(q),
+            v=zero3, bg=est.window.nodes.bg[0], ba=est.window.nodes.ba[0],
         )
         writer.write_nav(state, decimate=1)
     for row in est.stats:
