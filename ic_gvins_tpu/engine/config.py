@@ -68,6 +68,18 @@ class EngineConfig:
     max_nodes: int = 24  # window node slots (keyframes + GNSS nodes)
     max_landmarks: int = 192
     max_imu_per_interval: int = 512  # IMU samples per preintegration slice
+    # Marginalization prior mode:
+    #   "full"   — reference-parity Schur marginalization (information
+    #              accumulates; can compound linearization bias on long runs)
+    #   "anchor" — bounded continuity anchor on the new oldest node at its
+    #              current estimate (gauge fixation + continuity, cannot
+    #              compound; default)
+    #   "none"   — no prior after sliding (GNSS-only anchoring)
+    marg_prior_mode: str = "anchor"
+    prior_forgetting: float = 1.0  # info discount/slide in "full" mode
+    # "anchor" mode stds: [pos(3), att(3)] and [vel(3), bg(3), ba(3)]
+    anchor_pose_std: tuple = (0.05, 0.05, 0.05, 0.3 * D2R, 0.3 * D2R, 1.0 * D2R)
+    anchor_mix_std: tuple = (0.05, 0.05, 0.05, 3e-4, 3e-4, 3e-4, 3e-3, 3e-3, 3e-3)
     track_ref_lat_deg: float = 30.5  # latitude for iewn if no GNSS origin yet
 
     @property

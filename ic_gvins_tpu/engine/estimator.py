@@ -270,6 +270,7 @@ class Estimator:
         self.window = w._replace(
             gnss_p=w.gnss_p.at[0].set(jnp.asarray(p1)),
             gnss_std=w.gnss_std.at[0].set(jnp.asarray(gstd)),
+            gnss_std_base=w.gnss_std_base.at[0].set(jnp.asarray(gstd)),
             gnss_valid=w.gnss_valid.at[0].set(True),
         )
 
@@ -361,6 +362,7 @@ class Estimator:
             self.window = w._replace(
                 gnss_p=w.gnss_p.at[n].set(jnp.asarray(p)),
                 gnss_std=w.gnss_std.at[n].set(jnp.asarray(std)),
+                gnss_std_base=w.gnss_std_base.at[n].set(jnp.asarray(std)),
                 gnss_valid=w.gnss_valid.at[n].set(True),
             )
             self._optimize_round()
@@ -375,6 +377,7 @@ class Estimator:
         self.window = w._replace(
             gnss_p=w.gnss_p.at[n].set(jnp.asarray(p)),
             gnss_std=w.gnss_std.at[n].set(jnp.asarray(std)),
+            gnss_std_base=w.gnss_std_base.at[n].set(jnp.asarray(std)),
             gnss_valid=w.gnss_valid.at[n].set(True),
         )
         self._optimize_round()
@@ -606,9 +609,35 @@ class Estimator:
             s for fid, s in self.lm_slot.items()
             if int(self.window.lm_ref[s]) == 0 and bool(self.window.lm_valid[s])
         ]
-        self.window, self.prior = marginalize_and_slide(
-            self.window, self.prior, self.solver_cfg, self.params
-        )
+        from ..factors.marginalization import slide_window
+        from ..solver.window import empty_prior as _empty_prior
+
+        mode = self.cfg.marg_prior_mode
+        if mode == "full":
+            # reference-parity accumulating marginalization
+            self.window, self.prior = marginalize_and_slide(
+                self.window, self.prior, self.solver_cfg, self.params,
+                forgetting=self.cfg.prior_forgetting,
+            )
+        else:
+            # slide only; then (optionally) re-anchor with bounded info.
+            # Full marginalization information accumulates without bound
+            # (the preintegration bias links carry ~1e10 info), so a
+            # slightly-wrong estimate gets locked in and relinearization
+            # bias compounds into drift on long runs; a fixed-information
+            # continuity anchor keeps the gauge and short-term memory
+            # without that failure mode.
+            self.window, _ = slide_window(
+                self.window, _empty_prior(self.cfg.max_nodes)
+            )
+            if mode == "anchor":
+                self.prior = make_init_prior(
+                    self.window,
+                    jnp.asarray(self.cfg.anchor_pose_std),
+                    jnp.asarray(self.cfg.anchor_mix_std),
+                )
+            else:
+                self.prior = _empty_prior(self.cfg.max_nodes)
         was_kf = self.node_is_kf.pop(0)
         self.node_times.pop(0)
         self.n_nodes -= 1

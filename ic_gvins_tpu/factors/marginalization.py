@@ -47,7 +47,8 @@ def _eigh_pinv(A):
     return (v * w_inv[None, :]) @ v.T
 
 
-def _marg_system(window: Window, prior: Prior, cfg, params: IntegrationParams):
+def _marg_system(window: Window, prior: Prior, cfg, params: IntegrationParams,
+                 include_prior: bool = True):
     """H, g over the full layout from only the factors touching node 0."""
     from ..solver import assembly as asm
 
@@ -62,9 +63,10 @@ def _marg_system(window: Window, prior: Prior, cfg, params: IntegrationParams):
     td_col = N * NODE_DOF + 6
 
     # --- existing prior (full states) ---
-    r_p, J_p = eval_prior(window, prior)
-    H = H.at[:DX, :DX].add(J_p.T @ J_p)
-    g = g.at[:DX].add(J_p.T @ r_p)
+    if include_prior:
+        r_p, J_p = eval_prior(window, prior)
+        H = H.at[:DX, :DX].add(J_p.T @ J_p)
+        g = g.at[:DX].add(J_p.T @ r_p)
 
     # --- preintegration interval 0 ---
     z30 = jnp.zeros(2 * NODE_DOF, dtype)
@@ -107,9 +109,19 @@ def _marg_system(window: Window, prior: Prior, cfg, params: IntegrationParams):
     return H, g
 
 
-def marginalize_node0(window: Window, prior: Prior, cfg, params) -> Prior:
+def marginalize_node0(window: Window, prior: Prior, cfg, params,
+                      forgetting: float = 1.0) -> Prior:
     """Compute the new prior (in pre-roll coordinates) from marginalizing
-    node 0 and its anchored landmarks."""
+    node 0 and its anchored landmarks.
+
+    ``forgetting`` < 1 discounts the resulting prior information by that
+    factor (scaling both J0 and e0 by sqrt(forgetting) keeps the implied
+    mean). Deviation from the reference, which accumulates marginalization
+    information without bound: on long runs that freezes weakly-observable
+    states (IMU biases) at whatever value they had when the information
+    piled up — even when later motion would make the true value observable.
+    A mild discount (e.g. 0.99 per marginalization) gives the prior a
+    bounded effective memory while preserving its anchoring role."""
     N, L = window.n_nodes, window.n_landmarks
     DX, D = window.dim_x, window.dim_total
     dtype = window.nodes.p.dtype
@@ -142,6 +154,9 @@ def marginalize_node0(window: Window, prior: Prior, cfg, params) -> Prior:
     s_inv_sqrt = jnp.where(keep, 1.0 / jnp.where(s_sqrt > 0, s_sqrt, 1.0), 0.0)
     J0 = s_sqrt[:, None] * v.T
     e0 = s_inv_sqrt * (v.T @ gp)
+    scale = jnp.sqrt(jnp.asarray(forgetting, dtype))
+    J0 = J0 * scale
+    e0 = e0 * scale
 
     return Prior(
         J=J0,
@@ -168,6 +183,7 @@ def slide_window(window: Window, prior: Prior) -> tuple[Window, Prior]:
     preint_valid = roll1(window.preint_valid).at[-1].set(False)
     gnss_p = roll1(window.gnss_p)
     gnss_std = roll1(window.gnss_std)
+    gnss_std_base = roll1(window.gnss_std_base)
     gnss_valid = roll1(window.gnss_valid).at[-1].set(False)
     frame_td = roll1(window.frame_td)
 
@@ -182,7 +198,8 @@ def slide_window(window: Window, prior: Prior) -> tuple[Window, Prior]:
     win = window._replace(
         nodes=nodes, node_valid=node_valid, node_is_kf=node_is_kf,
         preint=preint, preint_valid=preint_valid,
-        gnss_p=gnss_p, gnss_std=gnss_std, gnss_valid=gnss_valid,
+        gnss_p=gnss_p, gnss_std=gnss_std, gnss_std_base=gnss_std_base,
+        gnss_valid=gnss_valid,
         frame_td=frame_td,
         obs_uv=obs_uv, obs_vel=obs_vel, obs_valid=obs_valid,
         lm_valid=lm_valid, lm_ref=lm_ref,
@@ -205,7 +222,8 @@ def slide_window(window: Window, prior: Prior) -> tuple[Window, Prior]:
     return win, pr
 
 
-def marginalize_and_slide(window: Window, prior: Prior, cfg, params):
+def marginalize_and_slide(window: Window, prior: Prior, cfg, params,
+                          forgetting: float = 1.0):
     """Full marginalization round: build the new prior, then slide."""
-    new_prior = marginalize_node0(window, prior, cfg, params)
+    new_prior = marginalize_node0(window, prior, cfg, params, forgetting)
     return slide_window(window, new_prior)

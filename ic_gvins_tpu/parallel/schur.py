@@ -168,7 +168,7 @@ def sharded_gn_step(
         node_valid=P(), node_is_kf=P(),
         preint=jax.tree.map(lambda _: P(), window.preint),
         preint_valid=P(),
-        gnss_p=P(), gnss_std=P(), gnss_valid=P(),
+        gnss_p=P(), gnss_std=P(), gnss_std_base=P(), gnss_valid=P(),
         ext_p=P(), ext_q=P(), td=P(), frame_td=P(),
         lm_invdepth=P(axis), lm_ref=P(axis), lm_valid=P(axis),
         obs_uv=P(axis), obs_vel=P(axis), obs_valid=P(axis),

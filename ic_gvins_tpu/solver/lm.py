@@ -76,12 +76,22 @@ def lm_run(
 
 
 def chi2_cull(window: Window, cfg: SolverConfig):
-    """Between-phase chi2 gates (``ic_gvins.cc:1275-1331``)."""
-    # GNSS: reweight by inflating std.
-    r_g, _ = eval_gnss(window, cfg)
+    """Between-phase chi2 gates (``ic_gvins.cc:1275-1331``).
+
+    Deviation from the reference: the reference multiplies the stored GNSS
+    std in place (``gnss->std *= scale``), which COMPOUNDS when the same
+    fix is re-culled across successive sliding-window rounds — a positive
+    feedback loop (drift -> higher chi2 -> weaker GNSS -> more drift) that
+    can disable GNSS entirely on long runs. Here the inflation is
+    recomputed from the current std once per round and capped at 10x so
+    the absolute reference never fully disappears.
+    """
+    # evaluate chi2 against the BASE std so the scale never compounds
+    base = window._replace(gnss_std=window.gnss_std_base)
+    r_g, _ = eval_gnss(base, cfg)
     chi_g = jnp.sum(r_g**2, axis=-1)
-    scale = jnp.sqrt(jnp.maximum(chi_g / 7.815, 1.0))
-    gnss_std = window.gnss_std * scale[:, None]
+    scale = jnp.sqrt(jnp.clip(chi_g / 7.815, 1.0, 100.0))
+    gnss_std = window.gnss_std_base * scale[:, None]
 
     # Reprojection: mask out observations beyond the 2-dof 95% gate.
     r_v, _ = eval_reproj(window, cfg)

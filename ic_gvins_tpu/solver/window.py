@@ -37,7 +37,8 @@ class Window(NamedTuple):
     preint: PreintData  # batched [N-1]; interval i joins node i -> i+1
     preint_valid: jax.Array  # [N-1] bool
     gnss_p: jax.Array  # [N,3] local-frame GNSS fix at node time
-    gnss_std: jax.Array  # [N,3]
+    gnss_std: jax.Array  # [N,3] effective std (chi2-reweighted per round)
+    gnss_std_base: jax.Array  # [N,3] as-ingested std (reweight baseline)
     gnss_valid: jax.Array  # [N] bool
     ext_p: jax.Array  # (3,) camera-IMU translation t_b_c
     ext_q: jax.Array  # (4,) camera-IMU rotation q_b_c
@@ -129,6 +130,7 @@ def empty_window(n_nodes: int, n_landmarks: int, dtype=jnp.float64) -> Window:
         preint_valid=jnp.zeros(N - 1, bool),
         gnss_p=jnp.zeros((N, 3), dtype),
         gnss_std=jnp.ones((N, 3), dtype),
+        gnss_std_base=jnp.ones((N, 3), dtype),
         gnss_valid=jnp.zeros(N, bool),
         ext_p=jnp.zeros(3, dtype),
         ext_q=jnp.array([1.0, 0, 0, 0], dtype),

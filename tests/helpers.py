@@ -96,6 +96,7 @@ def build_gins_window(
         preint_valid=win.preint_valid.at[: n_nodes - 1].set(True),
         gnss_p=win.gnss_p.at[:n_nodes].set(gnss_p),
         gnss_std=win.gnss_std.at[:n_nodes].set(gnss_std),
+        gnss_std_base=win.gnss_std_base.at[:n_nodes].set(gnss_std),
         gnss_valid=win.gnss_valid.at[:n_nodes].set(True),
     )
     return win, truth, params, traj
