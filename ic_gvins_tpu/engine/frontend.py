@@ -31,6 +31,7 @@ from ..vision import camera as cam_mod
 from ..vision.detector import detect_features
 from ..vision.klt import lk_track_bidirectional
 from ..vision.pyramid import build_pyramid
+from ..vision import ransac as ransac_mod
 
 
 class Frontend:
@@ -39,7 +40,9 @@ class Frontend:
                  use_pallas: bool | None = None,
                  use_clahe: bool = True,
                  check_histogram: bool = False,
-                 histogram_threshold: float = 0.7):
+                 histogram_threshold: float = 0.7,
+                 fm_ransac: bool = True,
+                 ransac_threshold: float = 1.5):
         self.cam = cam
         self.max_features = max_features
         self.levels = pyramid_levels
@@ -50,6 +53,9 @@ class Frontend:
         self.use_clahe = use_clahe
         self.check_histogram = check_histogram
         self.histogram_threshold = histogram_threshold
+        self.fm_ransac = fm_ransac
+        self.ransac_threshold = ransac_threshold
+        self.frame_count = 0
         self.prev_raw = None
 
         self.prev_pyr = None
@@ -116,6 +122,17 @@ class Frontend:
             uv_new = np.asarray(
                 cam_mod.pixel_to_cam(self.cam, jnp.asarray(pts1, jnp.float64))
             )[:, :2]
+            if self.fm_ransac and int(ok.sum()) >= ransac_mod.MIN_POINTS:
+                # epipolar culling on undistorted pixels (tracking.cc:546-555)
+                fx = float(self.cam.fx); fy = float(self.cam.fy)
+                cx = float(self.cam.cx); cy = float(self.cam.cy)
+                to_px = lambda n: np.stack(
+                    [fx * n[:, 0] + cx, fy * n[:, 1] + cy], -1)
+                key = jax.random.fold_in(jax.random.PRNGKey(0), self.frame_count)
+                inl, _ = ransac_mod.fundamental_ransac(
+                    to_px(self.uv_norm), to_px(uv_new), jnp.asarray(ok),
+                    self.ransac_threshold, key)
+                ok = ok & np.asarray(inl)
             self.vel_norm = np.where(
                 ok[:, None], (uv_new - self.uv_norm) / dt, 0.0
             )

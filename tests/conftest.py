@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The environment's axon sitecustomize imports jax at interpreter startup
+# and sets jax_platforms="axon,cpu" (TPU tunnel first) — by then the env
+# var above is too late, so force the config key directly as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # NOTE: do NOT enable the persistent compilation cache here — XLA:CPU AOT
