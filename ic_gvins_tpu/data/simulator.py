@@ -193,6 +193,37 @@ def simulate_gnss(
     return Gnss(time=times, p=ps, std=jnp.full((n, 3), std))
 
 
+def simulate_odometer(
+    traj: Trajectory,
+    params: IntegrationParams,
+    t0: float,
+    duration: float,
+    rate: float = 100.0,
+    sodo_true: float = 0.0,
+    noise_std: float = 0.0,
+    key: jax.Array | None = None,
+):
+    """Wheel-odometer forward-velocity samples (times, vel).
+
+    Measurement model matches the reference's scale convention
+    (``preintegration_odo.cc:212-215``: true displacement =
+    measured * (1 + sodo)), so ``vel = v_body_x / (1 + sodo_true)``.
+    """
+    n = int(round(duration * rate)) + 1
+    times = t0 + jnp.arange(n) / rate
+    vel_fn = jax.jacfwd(traj.pos)
+
+    def speed(t):
+        v = vel_fn(t)
+        q = rot.euler_to_quat(traj.euler(t))
+        return (rot.quat_to_matrix(q).T @ v)[0]
+
+    v = jax.lax.map(speed, times) / (1.0 + sodo_true)
+    if key is not None and noise_std > 0:
+        v = v + noise_std * jax.random.normal(key, v.shape)
+    return times, v
+
+
 def scatter_landmarks(
     traj: Trajectory,
     params: IntegrationParams,

@@ -34,6 +34,21 @@ class ImuModel:
 
 
 @dataclass
+class OdoConfig:
+    """Wheel-odometer options (the reference's ODO / EARTH_ODO
+    preintegration variants, ``preintegration.h:37-55``)."""
+
+    use_odo: bool = False
+    # odometer/vehicle -> body mounting euler angles (roll, pitch, yaw, rad)
+    mount_euler: tuple = (0.0, 0.0, 0.0)
+    lever: tuple = (0.0, 0.0, 0.0)  # odometer lever arm in body frame (m)
+    odo_vrw: float = 0.05  # odometer velocity random walk (m/s/sqrt(s))
+    odo_srw: float = 1e-4  # scale-factor random walk (1/sqrt(s))
+    sodo_prior_std: float = 0.02  # soft zero-prior (imu_error_factor.h:45-91)
+    estimate_sodo: bool = True
+
+
+@dataclass
 class EngineConfig:
     # --- gvins.yaml keys ---
     initlength: float = 1.0  # s of IMU for initialization
@@ -51,6 +66,7 @@ class EngineConfig:
     optimize_estimate_extrinsic: bool = False
     optimize_estimate_td: bool = False
     cam: CameraConfig = field(default_factory=CameraConfig)
+    odo: OdoConfig = field(default_factory=OdoConfig)
 
     # --- promoted constants (ic_gvins.h:120-141, misc.h, mappoint.h) ---
     gravity: float = 9.80  # NORMAL_GRAVITY
@@ -84,4 +100,66 @@ class EngineConfig:
 
     @property
     def node_dof_total(self) -> int:
-        return self.max_nodes * 15 + 7 + self.max_landmarks
+        return self.max_nodes * 15 + 8 + self.max_landmarks
+
+    # --- reference-compatible YAML ingestion ---
+
+    # keys handled by the replay runner, not the engine (fusion_ros.cc)
+    _RUNNER_KEYS = (
+        "outputpath", "is_make_outputdir", "is_use_visualization",
+        "isusegnssoutage", "gnssoutagetime", "track_check_histogram",
+    )
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "EngineConfig":
+        """Load a reference ``gvins.yaml`` (``config/gvins.yaml:1-83``,
+        parsed by the reference at ``fusion_ros.cc:71-102``,
+        ``ic_gvins.cc:54-160``, ``tracking.cc:49-60``) — a user of the
+        reference can bring their config file unchanged. Note the
+        reference stores ``q_b_c`` as (x, y, z, w); internally we use
+        (w, x, y, z)."""
+        import yaml
+
+        with open(path) as f:
+            y = yaml.safe_load(f)
+
+        cfg = cls()
+        for key in (
+            "initlength", "imudatarate", "iswithearth", "gnssthreshold",
+            "track_min_parallax", "track_max_interval", "track_max_features",
+            "reprojection_error_std", "optimize_windows_size",
+            "optimize_num_iterations", "optimize_estimate_extrinsic",
+            "optimize_estimate_td",
+        ):
+            if key in y:
+                setattr(cfg, key, type(getattr(cfg, key))(y[key]))
+        if "antlever" in y:
+            cfg.antlever = tuple(float(v) for v in y["antlever"])
+        if "imumodel" in y:
+            m = y["imumodel"]
+            cfg.imumodel = ImuModel(
+                arw=float(m["arw"]), vrw=float(m["vrw"]),
+                gbstd=float(m["gbstd"]), abstd=float(m["abstd"]),
+                corrtime=float(m["corrtime"]),
+            )
+        if "cam0" in y:
+            c = y["cam0"]
+            qx, qy, qz, qw = (float(v) for v in c["q_b_c"])
+            cfg.cam = CameraConfig(
+                intrinsic=tuple(float(v) for v in c["intrinsic"]),
+                distortion=tuple(float(v) for v in c["distortion"]),
+                resolution=tuple(int(v) for v in c["resolution"]),
+                q_b_c=(qw, qx, qy, qz),
+                t_b_c=tuple(float(v) for v in c["t_b_c"]),
+                td_b_c=float(c.get("td_b_c", 0.0)),
+            )
+        if "odometer" in y:
+            o = y["odometer"]
+            cfg.odo = OdoConfig(
+                use_odo=bool(o.get("use_odo", True)),
+                mount_euler=tuple(float(v) for v in o.get("mount_euler", (0, 0, 0))),
+                lever=tuple(float(v) for v in o.get("lever", (0, 0, 0))),
+                odo_vrw=float(o.get("odo_vrw", 0.05)),
+                odo_srw=float(o.get("odo_srw", 1e-4)),
+            )
+        return cfg

@@ -141,13 +141,31 @@ class Estimator:
             bias_prior_ba_std=jnp.asarray(cfg.acc_bias_prior_std),
             estimate_extrinsic=jnp.asarray(cfg.optimize_estimate_extrinsic),
             estimate_td=jnp.asarray(cfg.optimize_estimate_td),
+            estimate_sodo=jnp.asarray(cfg.odo.estimate_sodo),
+            sodo_prior_std=jnp.asarray(cfg.odo.sodo_prior_std),
         )
+        self.use_odo = bool(cfg.odo.use_odo)
+        if self.use_odo:
+            from ..ins.preintegration_odo import OdoParams
+
+            self.odo_params = OdoParams(
+                cvb=rot.quat_to_matrix(
+                    rot.euler_to_quat(jnp.asarray(cfg.odo.mount_euler))
+                ),
+                lodo=jnp.asarray(cfg.odo.lever, jnp.float64),
+                odo_vrw=jnp.asarray(cfg.odo.odo_vrw),
+                odo_srw=jnp.asarray(cfg.odo.odo_srw),
+            )
+        # odometer forward-velocity samples (t, v) for interval slicing
+        self.odo_t: list[float] = []
+        self.odo_v: list[float] = []
 
         self.state = INITIALIZING
         self.imu = _ImuBuffer()
         self.gnss_queue: list[tuple[float, np.ndarray, np.ndarray]] = []
 
-        self.window = empty_window(cfg.max_nodes, cfg.max_landmarks)
+        self.window = empty_window(cfg.max_nodes, cfg.max_landmarks,
+                                   odo=self.use_odo)
         q_bc = np.asarray(cfg.cam.q_b_c, np.float64)
         self.window = self.window._replace(
             ext_p=jnp.asarray(cfg.cam.t_b_c, jnp.float64),
@@ -178,6 +196,22 @@ class Estimator:
 
     def add_imu(self, t, dt, dtheta, dvel):
         self.imu.append(t, dt, dtheta, dvel)
+
+    def add_odo(self, t, vel):
+        """Wheel-odometer forward velocity sample (m/s). Interpolated onto
+        IMU sample times at preintegration (the reference receives odometer
+        increments synchronized with IMU samples)."""
+        self.odo_t.append(float(t))
+        self.odo_v.append(float(vel))
+
+    def _odo_increments(self, imu: ImuSeq) -> jnp.ndarray:
+        """Per-IMU-sample odometer displacement increments dt * v(t)."""
+        t = np.asarray(imu.time)
+        dt = np.asarray(imu.dt)
+        if not self.odo_t:
+            return jnp.zeros_like(imu.dt)
+        v = np.interp(t, np.asarray(self.odo_t), np.asarray(self.odo_v))
+        return jnp.asarray(v * dt)
 
     def add_gnss(self, t, p_local, std):
         """GNSS fix already in the local frame (ingest conversion is the
@@ -291,6 +325,10 @@ class Estimator:
         self.last_node_state = state0
         self.imu.drop_before(t1 - 0.1)
         self.state = INITIALIZING_INS
+        from ..common.logging import LOGI
+
+        LOGI(f"GNSS/INS initialized at t={t1:.3f} "
+             f"({'static' if is_zv else 'moving'} alignment)")
 
     # ------------------------------------------------------------------
     # node management
@@ -331,6 +369,19 @@ class Estimator:
         states = mech.mechanize_scan(self.params, s, imu)
         return states.index(-1)
 
+    def _preintegrate(self, state_prev: NavState, imu: ImuSeq):
+        """Variant dispatch (parity Preintegration::createPreintegration,
+        ``preintegration.h:57-73``): plain/EARTH via the unified iewn path,
+        ODO/EARTH_ODO when an odometer is configured."""
+        if self.use_odo:
+            from ..ins.preintegration_odo import preintegrate_odo
+
+            return preintegrate_odo(
+                self.params, self.odo_params, state_prev, self.window.sodo,
+                imu, self._odo_increments(imu),
+            )
+        return pre.preintegrate(self.params, state_prev, imu)
+
     def _add_time_node(self, t: float, is_kf: bool):
         """Preintegrate from the previous node and append a node at t
         (parity addNewTimeNode, ic_gvins.cc:931-962)."""
@@ -338,7 +389,7 @@ class Estimator:
         imu = self.imu.slice_between(t_prev, t, self.cfg.max_imu_per_interval)
         i = self.n_nodes - 1
         state_prev = self.window.nodes.index(i)
-        data = pre.preintegrate(self.params, state_prev, imu)
+        data = self._preintegrate(state_prev, imu)
         new_state = data.end_state
 
         self._append_node(new_state, is_kf)
@@ -551,6 +602,7 @@ class Estimator:
                 cost0=float(s1.cost0),
                 cost1=float(s2.cost1),
                 iterations=int(s1.accepted) + int(s2.accepted),
+                iters_run=int(s1.iters_run) + int(s2.iters_run),
                 reproj_min=float(errs.min()) if errs.size else 0.0,
                 reproj_max=float(errs.max()) if errs.size else 0.0,
                 reproj_mean=float(errs.mean()) if errs.size else 0.0,
@@ -597,7 +649,7 @@ class Estimator:
             t0, t1 = self.node_times[i], self.node_times[i + 1]
             imu = self.imu.slice_between(t0, t1, self.cfg.max_imu_per_interval)
             state_i = self.window.nodes.index(int(i))
-            data = pre.preintegrate(self.params, state_i, imu)
+            data = self._preintegrate(state_i, imu)
             self.window = self.window._replace(
                 preint=jax.tree.map(
                     lambda full, x: full.at[int(i)].set(x), self.window.preint, data
@@ -644,6 +696,13 @@ class Estimator:
         # trim the IMU buffer to the window head (bounded memory; the
         # reference keeps MAXIMUM_INS_NUMBER samples, ic_gvins.h:124)
         self.imu.drop_before(self.node_times[0] - 0.05)
+        if self.odo_t:
+            head = self.node_times[0] - 0.1
+            k = 0
+            while k < len(self.odo_t) - 2 and self.odo_t[k + 1] < head:
+                k += 1
+            if k > 0:
+                del self.odo_t[:k], self.odo_v[:k]
         if was_kf:
             self.n_keyframes -= 1
         # free landmark slots that died with the marginalized anchor
@@ -692,6 +751,7 @@ class Estimator:
             last_node_state=[np.asarray(x) for x in jax.tree.leaves(self.last_node_state)]
             if self.last_node_state is not None else None,
             imu=(self.imu.time, self.imu.dt, self.imu.dtheta, self.imu.dvel),
+            odo=(self.odo_t, self.odo_v),
             traj=(self.traj_times, self.traj_p, self.traj_q),
         )
         with open(path, "wb") as f:
@@ -725,6 +785,7 @@ class Estimator:
             )
             self.cur_state = self.last_node_state
         self.imu.time, self.imu.dt, self.imu.dtheta, self.imu.dvel = state["imu"]
+        self.odo_t, self.odo_v = state.get("odo", ([], []))
         self.traj_times, self.traj_p, self.traj_q = state["traj"]
 
     # ------------------------------------------------------------------

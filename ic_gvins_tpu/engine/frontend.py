@@ -56,6 +56,8 @@ class Frontend:
         self.fm_ransac = fm_ransac
         self.ransac_threshold = ransac_threshold
         self.frame_count = 0
+        self.min_track_features = max(8, max_features // 20)
+        self.track_lost = False  # set when the last frame triggered a reset
         self.prev_raw = None
 
         self.prev_pyr = None
@@ -68,6 +70,17 @@ class Frontend:
         self.ids = np.full(F, -1, np.int64)
         self.valid = np.zeros(F, bool)
         self.next_id = 0
+
+    def reset(self):
+        """Drop all tracked features and re-initialize on the next frame
+        (parity ``doResetTracking``, tracking.cc:317-329): the engine treats
+        the current frame as a fresh keyframe and INS carries the solution
+        through the visual outage."""
+        self.ids[:] = -1
+        self.valid[:] = False
+        self.vel_norm[:] = 0.0
+        self.prev_pyr = None
+        self.prev_q_wc = None
 
     def _predict_rotation(self, q_wc_new):
         """Initial flow from the predicted relative camera rotation
@@ -139,6 +152,15 @@ class Frontend:
             self.pts = np.where(ok[:, None], pts1, self.pts).astype(np.float32)
             self.uv_norm = np.where(ok[:, None], uv_new, self.uv_norm)
             self.valid = ok
+
+        # tracking-lost: too few survivors -> full reset, fresh detection
+        # below re-anchors on this frame (TRACK_LOST path, tracking.cc:223-227)
+        self.track_lost = (
+            self.prev_pyr is not None
+            and int(self.valid.sum()) < self.min_track_features
+        )
+        if self.track_lost:
+            self.reset()
 
         # replenish features in free cells
         n_missing = self.max_features - int(self.valid.sum())

@@ -51,7 +51,15 @@ class Pipeline:
             q_wc = rot.quat_mul(state.q, self.est.window.ext_q)
         ids, uv, vel = self.frontend.process(t, img, q_wc=q_wc)
         if self.est.state != 0 and len(ids):
-            self.est.add_frame_observations(t, ids, uv, vel)
+            # TRACK_LOST recovery: the re-initialized frame becomes a fresh
+            # keyframe (parity ic_gvins.cc:566-568); all its features are
+            # new anchors, INS bridged the visual outage
+            force = True if self.frontend.track_lost else None
+            if force:
+                from ..common.logging import LOGW
+
+                LOGW(f"tracking lost at t={t:.3f}; re-initialized front-end")
+            self.est.add_frame_observations(t, ids, uv, vel, force_kf=force)
 
     def trajectory(self):
         return self.est.trajectory()

@@ -68,13 +68,14 @@ def _marg_system(window: Window, prior: Prior, cfg, params: IntegrationParams,
         H = H.at[:DX, :DX].add(J_p.T @ J_p)
         g = g.at[:DX].add(J_p.T @ r_p)
 
-    # --- preintegration interval 0 ---
-    z30 = jnp.zeros(2 * NODE_DOF, dtype)
-    fn = lambda d: asm._preint_res(window, params, 0, d)
-    r0, J0 = fn(z30), jax.jacfwd(fn)(z30)
+    # --- preintegration interval 0 (plain or odometer-augmented) ---
+    res_fn, ddim = asm.preint_res_fn(window)
+    z0 = jnp.zeros(ddim, dtype)
+    fn = lambda d: res_fn(window, params, 0, d)
+    r0, J0 = fn(z0), jax.jacfwd(fn)(z0)
     m0 = (window.preint_valid[0] & window.node_valid[0] & window.node_valid[1]).astype(dtype)
     r0, J0 = r0 * m0, J0 * m0
-    cols0 = jnp.concatenate([node_cols[0], node_cols[1]])
+    cols0 = asm.preint_delta_cols(window)[0]
     H = H.at[cols0[:, None], cols0[None, :]].add(J0.T @ J0)
     g = g.at[cols0].add(J0.T @ r0)
 
@@ -165,6 +166,7 @@ def marginalize_node0(window: Window, prior: Prior, cfg, params,
         lin_ext_p=window.ext_p,
         lin_ext_q=window.ext_q,
         lin_td=window.td,
+        lin_sodo=window.sodo,
     )
 
 
@@ -217,7 +219,8 @@ def slide_window(window: Window, prior: Prior) -> tuple[Window, Prior]:
     pr = Prior(
         J=J_new, e=prior.e,
         lin_nodes=lin_nodes,
-        lin_ext_p=prior.lin_ext_p, lin_ext_q=prior.lin_ext_q, lin_td=prior.lin_td,
+        lin_ext_p=prior.lin_ext_p, lin_ext_q=prior.lin_ext_q,
+        lin_td=prior.lin_td, lin_sodo=prior.lin_sodo,
     )
     return win, pr
 

@@ -81,7 +81,7 @@ def _state_system(window: Window, prior: Prior, cfg: SolverConfig,
     node_cols = jnp.arange(N)[:, None] * NODE_DOF + jnp.arange(NODE_DOF)[None, :]
 
     r_pre, J_pre = asm.eval_preint(window, params)
-    cols_pre = jnp.concatenate([node_cols[:-1], node_cols[1:]], axis=1)
+    cols_pre = asm.preint_delta_cols(window)
     H = H.at[cols_pre[:, :, None], cols_pre[:, None, :]].add(
         jnp.einsum("frc,frd->fcd", J_pre, J_pre)
     )
@@ -144,7 +144,8 @@ def sharded_gn_step(
         node_free = jnp.repeat(win_shard.node_valid, NODE_DOF)
         ext_free = jnp.concatenate(
             [jnp.full(6, cfg_.estimate_extrinsic, bool),
-             jnp.array([cfg_.estimate_td])]
+             jnp.array([cfg_.estimate_td]),
+             jnp.array([cfg_.estimate_sodo & asm.is_odo_window(win_shard)])]
         )
         free = jnp.concatenate([node_free, ext_free]).astype(Hx.dtype)
         H_red = H_red * free[:, None] * free[None, :]
@@ -169,7 +170,7 @@ def sharded_gn_step(
         preint=jax.tree.map(lambda _: P(), window.preint),
         preint_valid=P(),
         gnss_p=P(), gnss_std=P(), gnss_std_base=P(), gnss_valid=P(),
-        ext_p=P(), ext_q=P(), td=P(), frame_td=P(),
+        ext_p=P(), ext_q=P(), td=P(), sodo=P(), frame_td=P(),
         lm_invdepth=P(axis), lm_ref=P(axis), lm_valid=P(axis),
         obs_uv=P(axis), obs_vel=P(axis), obs_valid=P(axis),
     )

@@ -32,7 +32,14 @@ from ..factors.residuals import (
     reprojection_residual,
 )
 from ..ins.preintegration import preint_residual, sqrt_information
-from .window import EXT_DOF, NODE_DOF, Prior, SolverConfig, Window
+from ..ins.preintegration_odo import OdoPreintData, preint_odo_residual
+from .window import EXT_DOF, EXTTD_DOF, NODE_DOF, Prior, SolverConfig, Window
+
+
+def is_odo_window(window: Window) -> bool:
+    """Static mode check: does this window carry odometer-augmented
+    preintegration (the ODO/EARTH_ODO variants)?"""
+    return isinstance(window.preint, OdoPreintData)
 
 
 class RobustFlags(NamedTuple):
@@ -68,6 +75,38 @@ def _preint_res(window: Window, params: IntegrationParams, i, delta30):
     r = preint_residual(pre, s0, s1, params, whiten=False)
     sqrt_info = sqrt_information(pre.cov)
     return sqrt_info @ r
+
+
+def _preint_res_odo(window: Window, params: IntegrationParams, i, delta31):
+    """Odometer-augmented variant: 19-dim residual over
+    [node i (15) | node i+1 (15) | sodo (1)]. The window-global sodo enters
+    both ends, so the reference's random-walk row (sodo1 - sodo0) is
+    identically zero — the scale link across intervals is the shared state
+    itself."""
+    s0 = node_boxplus(_node(window, i), delta31[:NODE_DOF])
+    s1 = node_boxplus(_node(window, i + 1), delta31[NODE_DOF : 2 * NODE_DOF])
+    sodo = window.sodo + delta31[2 * NODE_DOF]
+    pre = _preint_i(window, i)
+    r = preint_odo_residual(pre, s0, sodo, s1, sodo, params, whiten=False)
+    return sqrt_information(pre.cov) @ r
+
+
+def preint_res_fn(window: Window):
+    """(residual fn, delta dim) for this window's preintegration variant."""
+    if is_odo_window(window):
+        return _preint_res_odo, 2 * NODE_DOF + 1
+    return _preint_res, 2 * NODE_DOF
+
+
+def preint_delta_cols(window: Window) -> jax.Array:
+    """[N-1, C] global column indices of each interval's factor delta."""
+    N = window.n_nodes
+    node_cols = jnp.arange(N)[:, None] * NODE_DOF + jnp.arange(NODE_DOF)[None, :]
+    cols = jnp.concatenate([node_cols[:-1], node_cols[1:]], axis=1)
+    if is_odo_window(window):
+        sodo_col = jnp.full((N - 1, 1), N * NODE_DOF + 7, cols.dtype)
+        cols = jnp.concatenate([cols, sodo_col], axis=1)
+    return cols
 
 
 def _gnss_res(window: Window, cfg: SolverConfig, k, delta6):
@@ -143,13 +182,15 @@ def newest_node_index(window: Window):
 
 
 def eval_preint(window: Window, params: IntegrationParams):
-    """Residuals [N-1,15] and Jacobians [N-1,15,30], masked."""
+    """Residuals [N-1,R] and Jacobians [N-1,R,C], masked
+    (R,C = 15,30 plain / 19,31 odometer-augmented)."""
     N = window.n_nodes
     idx = jnp.arange(N - 1)
-    z = jnp.zeros(2 * NODE_DOF, window.nodes.p.dtype)
+    res_fn, dim = preint_res_fn(window)
+    z = jnp.zeros(dim, window.nodes.p.dtype)
 
     def one(i):
-        fn = partial(_preint_res, window, params, i)
+        fn = partial(res_fn, window, params, i)
         return fn(z), jax.jacfwd(fn)(z)
 
     r, J = jax.vmap(one)(idx)
@@ -232,6 +273,8 @@ def robust_cost(
         + jnp.sum(r_b**2)
         + jnp.sum(r_p**2)
     )
+    if is_odo_window(window):
+        cost = cost + 0.5 * (window.sodo / cfg.sodo_prior_std) ** 2
     return cost
 
 
@@ -254,10 +297,12 @@ def assemble(
     node_cols = (jnp.arange(N)[:, None] * NODE_DOF + jnp.arange(NODE_DOF)[None, :])
     ext_cols = N * NODE_DOF + jnp.arange(6)
     td_col = N * NODE_DOF + 6
+    sodo_col = N * NODE_DOF + 7
+    EXTTD = N * NODE_DOF + EXTTD_DOF  # end of the [ext|td] block
 
     # --- preintegration factors ---
     r_pre, J_pre = eval_preint(window, params)
-    cols_pre = jnp.concatenate([node_cols[:-1], node_cols[1:]], axis=1)  # [N-1,30]
+    cols_pre = preint_delta_cols(window)  # [N-1, 30|31]
     H = H.at[cols_pre[:, :, None], cols_pre[:, None, :]].add(
         jnp.einsum("frc,frd->fcd", J_pre, J_pre)
     )
@@ -314,12 +359,12 @@ def assemble(
     H_oe = jnp.einsum("lkrc,lkrd->kcd", wJo, Je)
     H_re = jnp.einsum("la,lkrc,lkrd->acd", O, wJr, Je)
     Hne = jnp.zeros((N, NODE_DOF, 7), H.dtype).at[:, 0:6, :].add(H_oe + H_re)
-    H = H.at[: N * NODE_DOF, N * NODE_DOF : DX].add(Hne.reshape(N * NODE_DOF, 7))
-    H = H.at[N * NODE_DOF : DX, : N * NODE_DOF].add(Hne.reshape(N * NODE_DOF, 7).T)
+    H = H.at[: N * NODE_DOF, N * NODE_DOF : EXTTD].add(Hne.reshape(N * NODE_DOF, 7))
+    H = H.at[N * NODE_DOF : EXTTD, : N * NODE_DOF].add(Hne.reshape(N * NODE_DOF, 7).T)
 
     # ext-ext block [7,7]
     H_ee = jnp.einsum("lkrc,lkrd->cd", wJe, Je)
-    H = H.at[N * NODE_DOF : DX, N * NODE_DOF : DX].add(H_ee)
+    H = H.at[N * NODE_DOF : EXTTD, N * NODE_DOF : EXTTD].add(H_ee)
 
     # landmark diagonal + cross blocks
     hll = jnp.einsum("lkr,lkr->l", wJl, Jl)
@@ -330,15 +375,15 @@ def assemble(
     H = H.at[DX:, : N * NODE_DOF].add(Hln.reshape(L, N * NODE_DOF))
     H = H.at[: N * NODE_DOF, DX:].add(Hln.reshape(L, N * NODE_DOF).T)
     H_le = jnp.einsum("lkr,lkrc->lc", wJl, Je)  # [L,7]
-    H = H.at[DX:, N * NODE_DOF : DX].add(H_le)
-    H = H.at[N * NODE_DOF : DX, DX:].add(H_le.T)
+    H = H.at[DX:, N * NODE_DOF : EXTTD].add(H_le)
+    H = H.at[N * NODE_DOF : EXTTD, DX:].add(H_le.T)
 
     # gradient
     g_o = jnp.einsum("lkrc,lkr->kc", wJo, r_v)
     g_r = jnp.einsum("la,lkrc,lkr->ac", O, wJr, r_v)
     gn = jnp.zeros((N, NODE_DOF), H.dtype).at[:, 0:6].add(g_o + g_r)
     g = g.at[: N * NODE_DOF].add(gn.reshape(-1))
-    g = g.at[N * NODE_DOF : DX].add(jnp.einsum("lkrc,lkr->c", wJe, r_v))
+    g = g.at[N * NODE_DOF : EXTTD].add(jnp.einsum("lkrc,lkr->c", wJe, r_v))
     g = g.at[DX:].add(jnp.einsum("lkr,lkr->l", wJl, r_v))
 
     cost = cost + 0.5 * jnp.sum(
@@ -351,6 +396,13 @@ def assemble(
     H = H.at[cols_b[:, None], cols_b[None, :]].add(J_b.T @ J_b)
     g = g.at[cols_b].add(J_b.T @ r_b)
     cost = cost + 0.5 * jnp.sum(r_b**2)
+
+    # --- soft odometer-scale prior (sigma_sodo = 0.02, imu_error_factor.h) ---
+    if is_odo_window(window):
+        w_s = 1.0 / cfg.sodo_prior_std**2
+        H = H.at[sodo_col, sodo_col].add(w_s)
+        g = g.at[sodo_col].add(w_s * window.sodo)
+        cost = cost + 0.5 * w_s * window.sodo**2
 
     # --- marginalization / initialization prior ---
     r_p, J_p = eval_prior(window, prior)
@@ -374,8 +426,11 @@ def free_mask(window: Window, cfg: SolverConfig) -> jax.Array:
     node_free = jnp.repeat(window.node_valid, NODE_DOF)
     ext_free = jnp.full(6, cfg.estimate_extrinsic, bool)
     td_free = jnp.array([cfg.estimate_td], bool)
+    sodo_free = jnp.array([cfg.estimate_sodo & is_odo_window(window)], bool)
     lm_free = window.lm_valid & (jnp.sum(obs_mask(window), axis=1) > 0)
-    return jnp.concatenate([node_free, ext_free, td_free, lm_free]).astype(dtype)
+    return jnp.concatenate(
+        [node_free, ext_free, td_free, sodo_free, lm_free]
+    ).astype(dtype)
 
 
 def schur_solve(H, g, dim_x: int, lam):

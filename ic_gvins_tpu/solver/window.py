@@ -9,9 +9,15 @@ with static shapes.
 
 Layout of the error-state vector (dimension ``dim_total``):
 
-    [ node 0 (15) | node 1 (15) | … | node N-1 (15) | ext (6) | td (1) | landmarks (L) ]
+    [ node 0 (15) | … | node N-1 (15) | ext (6) | td (1) | sodo (1) | landmarks (L) ]
 
 per node: [dp 0:3, dtheta 3:6, dv 6:9, dbg 9:12, dba 12:15].
+
+``sodo`` is the odometer scale factor. The reference carries it per mix
+block (mix=10, ``preintegration.h:106-118``) linked by the preintegration's
+random-walk rows; over a ~10-keyframe window the scale drift is far below
+its observability, so here it is a single window-global state (frozen and
+information-free when the ODO mode is off).
 """
 
 from __future__ import annotations
@@ -25,7 +31,8 @@ from ..data.types import NavState
 from ..ins.preintegration import PreintData
 
 NODE_DOF = 15
-EXT_DOF = 7  # 6 extrinsic + 1 time delay
+EXT_DOF = 8  # 6 extrinsic + 1 time delay + 1 odometer scale
+EXTTD_DOF = 7  # the part reprojection factors touch (ext + td)
 
 
 class Window(NamedTuple):
@@ -43,6 +50,7 @@ class Window(NamedTuple):
     ext_p: jax.Array  # (3,) camera-IMU translation t_b_c
     ext_q: jax.Array  # (4,) camera-IMU rotation q_b_c
     td: jax.Array  # () camera-IMU time delay
+    sodo: jax.Array  # () odometer scale factor (ODO modes; else frozen)
     frame_td: jax.Array  # [N] per-frame time-delay base (td0/td1)
     lm_invdepth: jax.Array  # [L]
     lm_ref: jax.Array  # [L] int32 anchor node index
@@ -80,6 +88,7 @@ class Prior(NamedTuple):
     lin_ext_p: jax.Array
     lin_ext_q: jax.Array
     lin_td: jax.Array
+    lin_sodo: jax.Array
 
 
 class SolverConfig(NamedTuple):
@@ -91,9 +100,16 @@ class SolverConfig(NamedTuple):
     bias_prior_ba_std: jax.Array  # () soft bias prior (20000 mGal)
     estimate_extrinsic: jax.Array  # () bool
     estimate_td: jax.Array  # () bool
+    estimate_sodo: jax.Array  # () bool (ODO modes)
+    sodo_prior_std: jax.Array  # () soft zero-prior std (0.02, imu_error_factor.h)
 
 
-def empty_window(n_nodes: int, n_landmarks: int, dtype=jnp.float64) -> Window:
+def empty_window(n_nodes: int, n_landmarks: int, dtype=jnp.float64,
+                 odo: bool = False) -> Window:
+    """``odo=True`` allocates odometer-augmented preintegration intervals
+    (19-dim state, ``ins/preintegration_odo.py``) — a static, per-run mode
+    choice like the reference's PreintegrationOptions factory
+    (``preintegration.h:37-73``)."""
     N, L = n_nodes, n_landmarks
     nodes = NavState(
         time=jnp.zeros(N, dtype),
@@ -103,25 +119,45 @@ def empty_window(n_nodes: int, n_landmarks: int, dtype=jnp.float64) -> Window:
         bg=jnp.zeros((N, 3), dtype),
         ba=jnp.zeros((N, 3), dtype),
     )
-    preint = PreintData(
-        dp=jnp.zeros((N - 1, 3), dtype),
-        dv=jnp.zeros((N - 1, 3), dtype),
-        dq=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (N - 1, 1)),
-        jac=jnp.tile(jnp.eye(NODE_DOF, dtype=dtype), (N - 1, 1, 1)),
-        cov=jnp.tile(jnp.eye(NODE_DOF, dtype=dtype), (N - 1, 1, 1)),
-        dt=jnp.zeros(N - 1, dtype),
-        sum_dt_pn=jnp.zeros((N - 1, 3), dtype),
-        bg_ref=jnp.zeros((N - 1, 3), dtype),
-        ba_ref=jnp.zeros((N - 1, 3), dtype),
-        end_state=NavState(
-            time=jnp.zeros(N - 1, dtype),
-            p=jnp.zeros((N - 1, 3), dtype),
-            q=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (N - 1, 1)),
-            v=jnp.zeros((N - 1, 3), dtype),
-            bg=jnp.zeros((N - 1, 3), dtype),
-            ba=jnp.zeros((N - 1, 3), dtype),
-        ),
+    end_state = NavState(
+        time=jnp.zeros(N - 1, dtype),
+        p=jnp.zeros((N - 1, 3), dtype),
+        q=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (N - 1, 1)),
+        v=jnp.zeros((N - 1, 3), dtype),
+        bg=jnp.zeros((N - 1, 3), dtype),
+        ba=jnp.zeros((N - 1, 3), dtype),
     )
+    if odo:
+        from ..ins.preintegration_odo import NUM_STATE as ODO_DOF
+        from ..ins.preintegration_odo import OdoPreintData
+
+        preint = OdoPreintData(
+            dp=jnp.zeros((N - 1, 3), dtype),
+            dv=jnp.zeros((N - 1, 3), dtype),
+            dq=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (N - 1, 1)),
+            ds=jnp.zeros((N - 1, 3), dtype),
+            jac=jnp.tile(jnp.eye(ODO_DOF, dtype=dtype), (N - 1, 1, 1)),
+            cov=jnp.tile(jnp.eye(ODO_DOF, dtype=dtype), (N - 1, 1, 1)),
+            dt=jnp.zeros(N - 1, dtype),
+            sum_dt_pn=jnp.zeros((N - 1, 3), dtype),
+            bg_ref=jnp.zeros((N - 1, 3), dtype),
+            ba_ref=jnp.zeros((N - 1, 3), dtype),
+            sodo_ref=jnp.zeros(N - 1, dtype),
+            end_state=end_state,
+        )
+    else:
+        preint = PreintData(
+            dp=jnp.zeros((N - 1, 3), dtype),
+            dv=jnp.zeros((N - 1, 3), dtype),
+            dq=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (N - 1, 1)),
+            jac=jnp.tile(jnp.eye(NODE_DOF, dtype=dtype), (N - 1, 1, 1)),
+            cov=jnp.tile(jnp.eye(NODE_DOF, dtype=dtype), (N - 1, 1, 1)),
+            dt=jnp.zeros(N - 1, dtype),
+            sum_dt_pn=jnp.zeros((N - 1, 3), dtype),
+            bg_ref=jnp.zeros((N - 1, 3), dtype),
+            ba_ref=jnp.zeros((N - 1, 3), dtype),
+            end_state=end_state,
+        )
     return Window(
         nodes=nodes,
         node_valid=jnp.zeros(N, bool),
@@ -135,6 +171,7 @@ def empty_window(n_nodes: int, n_landmarks: int, dtype=jnp.float64) -> Window:
         ext_p=jnp.zeros(3, dtype),
         ext_q=jnp.array([1.0, 0, 0, 0], dtype),
         td=jnp.zeros((), dtype),
+        sodo=jnp.zeros((), dtype),
         frame_td=jnp.zeros(N, dtype),
         lm_invdepth=jnp.full(L, 0.1, dtype),
         lm_ref=jnp.zeros(L, jnp.int32),
@@ -161,6 +198,7 @@ def empty_prior(n_nodes: int, dtype=jnp.float64) -> Prior:
         lin_ext_p=jnp.zeros(3, dtype),
         lin_ext_q=jnp.array([1.0, 0, 0, 0], dtype),
         lin_td=jnp.zeros((), dtype),
+        lin_sodo=jnp.zeros((), dtype),
     )
 
 
@@ -184,8 +222,11 @@ def make_init_prior(
     stds = jnp.concatenate([pose_std6, mix_std9])
     diag = jnp.zeros(dx, dtype).at[:NODE_DOF].set(1.0 / stds)
     if ext_std7 is not None:
+        ext_std = jnp.asarray(ext_std7, dtype)
+        if ext_std.shape[0] == EXTTD_DOF:  # no sodo entry: leave it free
+            ext_std = jnp.concatenate([ext_std, jnp.asarray([1e6], dtype)])
         n15 = window.n_nodes * NODE_DOF
-        diag = diag.at[n15 : n15 + EXT_DOF].set(1.0 / ext_std7)
+        diag = diag.at[n15 : n15 + EXT_DOF].set(1.0 / ext_std)
     return Prior(
         J=jnp.diag(diag),
         e=jnp.zeros(dx, dtype),
@@ -193,6 +234,7 @@ def make_init_prior(
         lin_ext_p=window.ext_p,
         lin_ext_q=window.ext_q,
         lin_td=window.td,
+        lin_sodo=window.sodo,
     )
 
 
@@ -206,9 +248,11 @@ def apply_delta(window: Window, dx: jax.Array) -> Window:
     ext_dx = dx[N * NODE_DOF : N * NODE_DOF + 6]
     ext_p, ext_q = pose_boxplus(window.ext_p, window.ext_q, ext_dx)
     td = window.td + dx[N * NODE_DOF + 6]
+    sodo = window.sodo + dx[N * NODE_DOF + 7]
     invd = window.lm_invdepth + dx[N * NODE_DOF + EXT_DOF :]
     return window._replace(
-        nodes=nodes, ext_p=ext_p, ext_q=ext_q, td=td, lm_invdepth=invd
+        nodes=nodes, ext_p=ext_p, ext_q=ext_q, td=td, sodo=sodo,
+        lm_invdepth=invd
     )
 
 
@@ -220,4 +264,5 @@ def state_boxminus(window: Window, prior: Prior) -> jax.Array:
     node_dx = node_boxminus(window.nodes, prior.lin_nodes)  # [N,15]
     ext_dx = pose_boxminus(window.ext_p, window.ext_q, prior.lin_ext_p, prior.lin_ext_q)
     td_dx = (window.td - prior.lin_td)[None]
-    return jnp.concatenate([node_dx.reshape(-1), ext_dx, td_dx])
+    sodo_dx = (window.sodo - prior.lin_sodo)[None]
+    return jnp.concatenate([node_dx.reshape(-1), ext_dx, td_dx, sodo_dx])

@@ -25,6 +25,8 @@ def default_cfg(antlever=None):
         bias_prior_ba_std=jnp.asarray(0.2),
         estimate_extrinsic=jnp.asarray(False),
         estimate_td=jnp.asarray(False),
+        estimate_sodo=jnp.asarray(False),
+        sodo_prior_std=jnp.asarray(0.02),
     )
 
 

@@ -22,11 +22,12 @@ def small_cfg(**kw):
 
 def run_sequence(cfg, duration=15.0, with_vision=False, gnss_std=0.05, seed=0,
                  imu_rate=200.0, frame_rate=10.0, gnss_rate=1.0, n_landmarks=96,
-                 gnss_until=None):
+                 gnss_until=None, odo_sodo_true=None):
     params = sim.default_params(with_earth=cfg.iswithearth, lat_deg=cfg.track_ref_lat_deg)
     traj = sim.car_trajectory()
     key = jax.random.PRNGKey(seed)
     k_imu, k_gnss, k_lm, k_px = jax.random.split(key, 4)
+    k_odo = jax.random.fold_in(key, 7)  # keep the original 4 streams intact
 
     bg = jnp.array([2e-4, -1e-4, 3e-4])
     ba = jnp.array([5e-3, -8e-3, 2e-3])
@@ -59,12 +60,20 @@ def run_sequence(cfg, duration=15.0, with_vision=False, gnss_std=0.05, seed=0,
     else:
         cam_cfg = None
 
+    odo_t = odo_v = None
+    if odo_sodo_true is not None:
+        odo_t, odo_v = sim.simulate_odometer(
+            traj, params, t0, duration, 50.0,
+            sodo_true=odo_sodo_true, noise_std=0.02, key=k_odo,
+        )
+        odo_t, odo_v = np.asarray(odo_t), np.asarray(odo_v)
+
     est = Estimator(cfg)
     if cam_cfg is not None:
         est.window = est.window._replace(ext_p=cam_cfg[0], ext_q=cam_cfg[1])
 
     # feed events in time order
-    gi, fi = 0, 0
+    gi, fi, oi = 0, 0, 0
     gt = np.asarray(gnss.time)
     gp = np.asarray(gnss.p)
     gs = np.asarray(gnss.std)
@@ -73,6 +82,10 @@ def run_sequence(cfg, duration=15.0, with_vision=False, gnss_std=0.05, seed=0,
         dt = float(imu.dt[k])
         if dt == 0.0:
             continue
+        if odo_t is not None:
+            while oi < len(odo_t) and odo_t[oi] <= t:
+                est.add_odo(odo_t[oi], odo_v[oi])
+                oi += 1
         est.add_imu(t, dt, np.asarray(imu.dtheta[k]), np.asarray(imu.dvel[k]))
         while gi < len(gt) and gt[gi] <= t:
             if gnss_until is None or gt[gi] <= gnss_until:

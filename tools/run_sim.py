@@ -35,11 +35,23 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/sim")
     ap.add_argument("--landmarks", type=int, default=96)
+    ap.add_argument("--odo", action="store_true",
+                    help="fuse a simulated wheel odometer (ODO/EARTH_ODO "
+                         "preintegration with online scale estimation)")
+    ap.add_argument("--sodo-true", type=float, default=0.03,
+                    help="true odometer scale error injected by the simulator")
+    ap.add_argument("--platform", default="cpu", choices=("cpu", "tpu", "axon"),
+                    help="cpu (default): f64 validation path on host; "
+                         "tpu/axon: run on the accelerator")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_enable_x64", True)
+    # The env's sitecustomize pins jax_platforms at interpreter startup, so
+    # JAX_PLATFORMS alone is not enough — force the config key directly.
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
 
     import numpy as np
     import jax.numpy as jnp
@@ -50,7 +62,14 @@ def main():
     from ic_gvins_tpu.data import simulator as sim
     from ic_gvins_tpu.engine.outputs import RunWriter
 
-    cfg = small_cfg()
+    if args.odo:
+        from ic_gvins_tpu.engine.config import OdoConfig
+
+        cfg = small_cfg(antlever=(0.0, 0.0, 0.0),
+                        odo=OdoConfig(use_odo=True, odo_vrw=0.03,
+                                      sodo_prior_std=0.05))
+    else:
+        cfg = small_cfg()
     t0 = time.perf_counter()
     est, traj, params = run_sequence(
         cfg,
@@ -62,6 +81,7 @@ def main():
         frame_rate=args.frame_rate,
         n_landmarks=args.landmarks,
         gnss_until=args.gnss_outage_time,
+        odo_sodo_true=args.sodo_true if args.odo else None,
     )
     wall = time.perf_counter() - t0
 
@@ -95,6 +115,9 @@ def main():
         state=est.state,
         outdir=args.out,
     )
+    if args.odo:
+        result["sodo_est"] = round(float(est.window.sodo), 5)
+        result["sodo_true"] = args.sodo_true
     print(json.dumps(result))
 
 
