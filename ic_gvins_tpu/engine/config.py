@@ -79,6 +79,9 @@ class EngineConfig:
     zupt_gyr_threshold: float = 0.002  # rad/s
     zupt_acc_threshold: float = 0.1  # m/s^2
     keyframe_min_interval: float = 0.08  # s (tracking.h:115)
+    nearest_depth: float = 1.0  # m (mappoint.h:51-53)
+    farthest_depth: float = 200.0  # m
+    default_depth: float = 10.0  # m
 
     # --- fixed-capacity knobs of the TPU build (static shapes) ---
     max_nodes: int = 24  # window node slots (keyframes + GNSS nodes)
@@ -97,6 +100,14 @@ class EngineConfig:
     anchor_pose_std: tuple = (0.05, 0.05, 0.05, 0.3 * D2R, 0.3 * D2R, 1.0 * D2R)
     anchor_mix_std: tuple = (0.05, 0.05, 0.05, 3e-4, 3e-4, 3e-4, 3e-3, 3e-3, 3e-3)
     track_ref_lat_deg: float = 30.5  # latitude for iewn if no GNSS origin yet
+    # Window re-centering for the f32 TPU path: when |p| of the oldest node
+    # exceeds this after a slide, shift the whole window (nodes, GNSS,
+    # preintegration position caches, prior linearization points) so the
+    # oldest node is near the origin, accumulating the offset in f64 on the
+    # host. All factor residuals depend only on position *differences*
+    # (incl. the Earth Coriolis term via sum_dt_pn - dt*p0), so the shift is
+    # algebraically exact. 0 disables; None = auto (on when x64 is off).
+    recenter_threshold: float | None = None
 
     @property
     def node_dof_total(self) -> int:

@@ -189,6 +189,21 @@ class Estimator:
         self.lm_slot: dict[int, int] = {}
         self.free_slots = list(range(cfg.max_landmarks - 1, -1, -1))
         self.stats: list[dict] = []
+        self.track_log: list[dict] = []  # per-keyframe tracking diagnostics
+        self._last_parallax = 0.0
+        # world positions of landmarks fixed at marginalization (the
+        # reference dumps each to mappoint.txt as it leaves the window,
+        # ic_gvins.cc:1704)
+        self.fixed_mappoints: list[np.ndarray] = []
+
+        # local-frame origin offset (f64, host): window positions are kept
+        # near zero by re-centering so the f32 TPU path retains precision
+        # (SURVEY.md §7.4 hard part 1); outputs add the offset back
+        self.origin = np.zeros(3, np.float64)
+        thr = cfg.recenter_threshold
+        if thr is None:
+            thr = 0.0 if jax.config.jax_enable_x64 else 20.0
+        self.recenter_threshold = float(thr)
 
     # ------------------------------------------------------------------
     # ingest
@@ -219,7 +234,8 @@ class Estimator:
         std = np.asarray(std, np.float64)
         if np.any(std <= 0) or np.any(std > self.cfg.gnssthreshold):
             return  # quality gate (fusion_ros.cc:195-211)
-        self.gnss_queue.append((float(t), np.asarray(p_local, np.float64), std))
+        p_local = np.asarray(p_local, np.float64) - self.origin
+        self.gnss_queue.append((float(t), p_local, std))
         if self.state == INITIALIZING:
             self._try_initialize()
         else:
@@ -495,6 +511,31 @@ class Estimator:
             frame_td=w.frame_td.at[n].set(0.0),
         )
         self._init_new_depths(n)
+
+        # per-keyframe tracking log (parity tracking.txt columns,
+        # ``tracking.cc:297-315``: t, kf interval, parallax, translation,
+        # rotation, tracked mappoints, frontend cost)
+        prev_kf = [i for i in range(n) if self.node_is_kf[i]]
+        nodes = self.window.nodes
+        if prev_kf:
+            j = prev_kf[-1]
+            dp = float(np.linalg.norm(
+                np.asarray(nodes.p[n]) - np.asarray(nodes.p[j])
+            ))
+            dq = rot.quat_mul(rot.quat_inv(nodes.q[j]), nodes.q[n])
+            ang = float(np.degrees(2.0 * math.atan2(
+                np.linalg.norm(np.asarray(dq)[1:]), abs(float(dq[0]))
+            )))
+            interval = t - self.node_times[j]
+        else:
+            dp, ang, interval = 0.0, 0.0, 0.0
+        n_tracked = sum(1 for fid in ids if fid in self.lm_slot)
+        self.track_log.append(dict(
+            t=t, interval=interval, parallax=self._last_parallax,
+            translation=dp, rotation=ang, n_mappoints=n_tracked,
+            cost_ms=0.0,
+        ))
+
         if self.state == INITIALIZING_INS:
             self.state = TRACKING_NORMAL
         self._optimize_round()
@@ -505,8 +546,6 @@ class Estimator:
         last_kf_t = max(
             tt for tt, k in zip(self.node_times, self.node_is_kf) if k
         )
-        if t - last_kf_t > self.cfg.track_max_interval:
-            return True
         # mean parallax vs the latest stored observation of each landmark
         obs_uv = np.asarray(self.window.obs_uv)
         obs_valid = np.asarray(self.window.obs_valid)
@@ -518,7 +557,10 @@ class Estimator:
                 continue
             k_last = np.nonzero(obs_valid[slot])[0][-1]
             ds.append(np.linalg.norm(xy - obs_uv[slot, k_last]) * focal)
-        return bool(ds) and float(np.mean(ds)) > self.cfg.track_min_parallax
+        self._last_parallax = float(np.mean(ds)) if ds else 0.0
+        if t - last_kf_t > self.cfg.track_max_interval:
+            return True
+        return bool(ds) and self._last_parallax > self.cfg.track_min_parallax
 
     def _init_new_depths(self, n):
         """Triangulate landmarks anchored earlier and first re-observed now
@@ -661,6 +703,7 @@ class Estimator:
             s for fid, s in self.lm_slot.items()
             if int(self.window.lm_ref[s]) == 0 and bool(self.window.lm_valid[s])
         ]
+        self._save_fixed_mappoints(dead_slots)
         from ..factors.marginalization import slide_window
         from ..solver.window import empty_prior as _empty_prior
 
@@ -719,12 +762,80 @@ class Estimator:
         ]
         for fid in stale:
             self.free_slots.append(self.lm_slot.pop(fid))
+        self._maybe_recenter()
+
+    def _save_fixed_mappoints(self, slots):
+        """Record the world positions of landmarks leaving the window —
+        the reference dumps each marginalized landmark to mappoint.txt
+        (``ic_gvins.cc:1704``, 3 columns x y z). Chain: ref normalized
+        point / invdepth -> camera -> body (extrinsic) -> world."""
+        if not slots:
+            return
+        w = self.window
+        slots = np.asarray(slots, np.int32)
+        invd = np.asarray(w.lm_invdepth)[slots]
+        refs = np.asarray(w.lm_ref)[slots]
+        uv = np.asarray(w.obs_uv)[slots, refs]  # [k,2] normalized plane
+        ok = (invd > 1.0 / self.cfg.farthest_depth) & (
+            invd < 1.0 / self.cfg.nearest_depth
+        )
+        if not ok.any():
+            return
+        pc = np.concatenate([uv, np.ones((len(slots), 1))], 1) / invd[:, None]
+        q0 = jnp.asarray(np.asarray(w.nodes.q)[refs])
+        p0 = np.asarray(w.nodes.p)[refs]
+        pb = np.asarray(
+            jax.vmap(rot.quat_rotate, (None, 0))(w.ext_q, jnp.asarray(pc))
+        ) + np.asarray(w.ext_p)
+        pw = np.asarray(jax.vmap(rot.quat_rotate)(q0, jnp.asarray(pb))) + p0
+        for x in pw[ok]:
+            self.fixed_mappoints.append(np.asarray(x, np.float64) + self.origin)
 
     def _log_pose(self):
         s = self.last_node_state
         self.traj_times.append(float(s.time))
-        self.traj_p.append(np.asarray(s.p))
+        self.traj_p.append(np.asarray(s.p, np.float64) + self.origin)
         self.traj_q.append(np.asarray(s.q))
+
+    def _maybe_recenter(self):
+        """Shift the window so the oldest node sits near the origin
+        (f32-precision guard; see EngineConfig.recenter_threshold). The
+        shift is exact: every residual uses position differences only —
+        GNSS ``p + R·l − p_gnss``, preintegration ``p1 − p0 − …`` with the
+        Earth Coriolis cache entering as ``sum_dt_pn − dt·p0``, the prior
+        as ``p ⊟ lin_p`` — so shifting every absolute position by the same
+        vector leaves all costs unchanged."""
+        if self.recenter_threshold <= 0 or self.n_nodes < 1:
+            return
+        p0 = np.asarray(self.window.nodes.p[0], np.float64)
+        if float(np.linalg.norm(p0)) < self.recenter_threshold:
+            return
+        w = self.window
+        sh = jnp.asarray(p0, w.nodes.p.dtype)
+        pre = w.preint._replace(
+            sum_dt_pn=w.preint.sum_dt_pn - w.preint.dt[:, None] * sh,
+            end_state=w.preint.end_state._replace(
+                p=w.preint.end_state.p - sh
+            ),
+        )
+        self.window = w._replace(
+            nodes=w.nodes._replace(p=w.nodes.p - sh),
+            gnss_p=w.gnss_p - sh,
+            preint=pre,
+        )
+        self.prior = self.prior._replace(
+            lin_nodes=self.prior.lin_nodes._replace(
+                p=self.prior.lin_nodes.p - sh
+            )
+        )
+        if self.last_node_state is not None:
+            self.last_node_state = self.last_node_state._replace(
+                p=self.last_node_state.p - sh
+            )
+        if self.cur_state is not None:
+            self.cur_state = self.cur_state._replace(p=self.cur_state.p - sh)
+        self.gnss_queue = [(t, p - p0, s) for t, p, s in self.gnss_queue]
+        self.origin += p0
 
     # ------------------------------------------------------------------
     # checkpoint / resume (new capability: the reference has none, §5.4 —
@@ -752,6 +863,7 @@ class Estimator:
             if self.last_node_state is not None else None,
             imu=(self.imu.time, self.imu.dt, self.imu.dtheta, self.imu.dvel),
             odo=(self.odo_t, self.odo_v),
+            origin=self.origin,
             traj=(self.traj_times, self.traj_p, self.traj_q),
         )
         with open(path, "wb") as f:
@@ -786,6 +898,7 @@ class Estimator:
             self.cur_state = self.last_node_state
         self.imu.time, self.imu.dt, self.imu.dtheta, self.imu.dvel = state["imu"]
         self.odo_t, self.odo_v = state.get("odo", ([], []))
+        self.origin = state.get("origin", np.zeros(3, np.float64))
         self.traj_times, self.traj_p, self.traj_q = state["traj"]
 
     # ------------------------------------------------------------------

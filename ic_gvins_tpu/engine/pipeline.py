@@ -43,13 +43,18 @@ class Pipeline:
 
     def add_image(self, t, img):
         """Track the frame and feed observations to the estimator."""
+        import time as _time
+
         q_wc = None
         state = self.est.predicted_state(t)
         if state is not None:
             import jax.numpy as jnp
 
             q_wc = rot.quat_mul(state.q, self.est.window.ext_q)
+        t0 = _time.perf_counter()
         ids, uv, vel = self.frontend.process(t, img, q_wc=q_wc)
+        track_ms = (_time.perf_counter() - t0) * 1e3
+        n_log = len(self.est.track_log)
         if self.est.state != 0 and len(ids):
             # TRACK_LOST recovery: the re-initialized frame becomes a fresh
             # keyframe (parity ic_gvins.cc:566-568); all its features are
@@ -60,6 +65,8 @@ class Pipeline:
 
                 LOGW(f"tracking lost at t={t:.3f}; re-initialized front-end")
             self.est.add_frame_observations(t, ids, uv, vel, force_kf=force)
+            if len(self.est.track_log) > n_log:  # this frame made a keyframe
+                self.est.track_log[-1]["cost_ms"] = round(track_ms, 3)
 
     def trajectory(self):
         return self.est.trajectory()

@@ -171,11 +171,21 @@ def preintegrate(
 
 def sqrt_information(cov: jax.Array) -> jax.Array:
     """Upper-triangular sqrt information: chol(cov^-1)^T
-    (``preintegration_*.cc::evaluate`` line 1: LLT of covariance inverse)."""
-    info = jnp.linalg.inv(cov)
+    (``preintegration_*.cc::evaluate`` line 1: LLT of covariance inverse).
+
+    The covariance diagonal spans ~1e-10 (angles) to ~1e-2 (position), so
+    the inverse is computed on the diagonally-normalized correlation matrix
+    (condition ~1e3 instead of ~1e8) — required for the f32 TPU path, and
+    a strict improvement in f64. With cov = D·Cn·D (D = diag sqrt):
+    chol(cov^-1)^T = chol(Cn^-1)^T · D^-1."""
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(cov, axis1=-2, axis2=-1), 1e-30))
+    s = 1.0 / d
+    cov_n = cov * s[..., :, None] * s[..., None, :]
+    info_n = jnp.linalg.inv(cov_n)
     # Symmetrize before Cholesky for numerical safety.
-    info = 0.5 * (info + jnp.swapaxes(info, -1, -2))
-    return jnp.swapaxes(jnp.linalg.cholesky(info), -1, -2)
+    info_n = 0.5 * (info_n + jnp.swapaxes(info_n, -1, -2))
+    u_n = jnp.swapaxes(jnp.linalg.cholesky(info_n), -1, -2)
+    return u_n * s[..., None, :]
 
 
 def preint_residual(

@@ -453,8 +453,15 @@ def schur_solve(H, g, dim_x: int, lam):
     H_red = Hxx - Hxl_w @ Hxl.T
     g_red = gx - Hxl_w @ gl
 
-    # Cholesky with a tiny floor for safety.
-    L = jnp.linalg.cholesky(H_red + 1e-12 * jnp.eye(H_red.shape[0], dtype=H.dtype))
-    dx_x = -jax.scipy.linalg.cho_solve((L, True), g_red)
+    # Jacobi-scale the reduced system to unit diagonal before Cholesky:
+    # whitened information spans ~1e2 (GNSS) to ~1e10 (preint bias links),
+    # and the scaled solve keeps full precision in f32 on TPU (the raw
+    # condition number exceeds f32's 7 digits). Exact in f64 too.
+    eps = jnp.asarray(1e-12 if H.dtype == jnp.float64 else 1e-6, H.dtype)
+    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(H_red), eps))
+    H_n = H_red * s[:, None] * s[None, :]
+    L = jnp.linalg.cholesky(H_n + eps * jnp.eye(H_n.shape[0], dtype=H.dtype))
+    y = jax.scipy.linalg.cho_solve((L, True), s * g_red)
+    dx_x = -(s * y)
     dx_l = -(gl + Hxl.T @ dx_x) / hll
     return jnp.concatenate([dx_x, dx_l])

@@ -43,6 +43,15 @@ def main():
     ap.add_argument("--platform", default="cpu", choices=("cpu", "tpu", "axon"),
                     help="cpu (default): f64 validation path on host; "
                          "tpu/axon: run on the accelerator")
+    ap.add_argument("--f32", action="store_true",
+                    help="run the engine in float32 (the TPU numeric mode: "
+                         "x64 off, window re-centering on) — on CPU this "
+                         "validates exactly what the chip executes")
+    ap.add_argument("--config", default=None,
+                    help="reference-format gvins.yaml: engine keys are "
+                         "loaded via EngineConfig.from_yaml; the runner "
+                         "keys isusegnssoutage/gnssoutagetime/outputpath "
+                         "are honored here (parity fusion_ros.cc:71-102)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +60,7 @@ def main():
     # JAX_PLATFORMS alone is not enough — force the config key directly.
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_enable_x64", not args.f32)
 
     import numpy as np
     import jax.numpy as jnp
@@ -62,7 +71,27 @@ def main():
     from ic_gvins_tpu.data import simulator as sim
     from ic_gvins_tpu.engine.outputs import RunWriter
 
-    if args.odo:
+    if args.config is not None:
+        import yaml
+
+        from ic_gvins_tpu.engine.config import EngineConfig
+
+        cfg = EngineConfig.from_yaml(args.config)
+        # runner keys (parity fusion_ros.cc:84-97, 199-211)
+        with open(args.config) as f:
+            ycfg = yaml.safe_load(f)
+        if ycfg.get("isusegnssoutage") and args.gnss_outage_time is None:
+            args.gnss_outage_time = float(ycfg["gnssoutagetime"])
+        if args.out == ap.get_default("out") and ycfg.get("outputpath"):
+            args.out = ycfg["outputpath"]
+            if ycfg.get("is_make_outputdir", False):
+                args.out = os.path.join(
+                    args.out, time.strftime("%Y%m%d%H%M%S")
+                )
+        # keep the replay problem sized for this runner's synthetic window
+        cfg.max_nodes = 16
+        cfg.max_landmarks = 64
+    elif args.odo:
         from ic_gvins_tpu.engine.config import OdoConfig
 
         cfg = small_cfg(antlever=(0.0, 0.0, 0.0),
@@ -98,6 +127,10 @@ def main():
         writer.write_nav(state, decimate=1)
     for row in est.stats:
         writer.write_statistics(row)
+    for row in est.track_log:
+        writer.write_tracking(**row)
+    if est.fixed_mappoints:
+        writer.write_mappoints(est.fixed_mappoints)
     writer.write_extrinsic(
         times[-1] if len(times) else 0.0, est.window.ext_p, est.window.ext_q,
         est.window.td,
