@@ -70,6 +70,11 @@ class Frontend:
         self.ids = np.full(F, -1, np.int64)
         self.valid = np.zeros(F, bool)
         self.next_id = 0
+        # per-frame draw info for the Drawer (prev/cur pixels + ids of
+        # features tracked into the latest frame)
+        self.last_prev_pts = np.zeros((0, 2), np.float32)
+        self.last_cur_pts = np.zeros((0, 2), np.float32)
+        self.last_tracked_ids = np.zeros(0, np.int64)
 
     def reset(self):
         """Drop all tracked features and re-initialize on the next frame
@@ -149,6 +154,10 @@ class Frontend:
             self.vel_norm = np.where(
                 ok[:, None], (uv_new - self.uv_norm) / dt, 0.0
             )
+            sel_draw = np.nonzero(ok)[0]
+            self.last_prev_pts = self.pts[sel_draw].copy()
+            self.last_cur_pts = pts1[sel_draw].astype(np.float32)
+            self.last_tracked_ids = self.ids[sel_draw].copy()
             self.pts = np.where(ok[:, None], pts1, self.pts).astype(np.float32)
             self.uv_norm = np.where(ok[:, None], uv_new, self.uv_norm)
             self.valid = ok

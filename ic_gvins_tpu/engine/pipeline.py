@@ -21,7 +21,7 @@ from .frontend import Frontend
 
 class Pipeline:
     def __init__(self, cfg: EngineConfig, use_pallas: bool | None = None,
-                 use_clahe: bool = True):
+                 use_clahe: bool = True, drawer=None):
         self.cfg = cfg
         self.est = Estimator(cfg)
         cam = cam_mod.Camera.create(
@@ -34,6 +34,11 @@ class Pipeline:
             use_clahe=use_clahe,
             check_histogram=False,
         )
+        # optional visualization sink (parity DrawerRviz: the reference
+        # engine forwards tracked points / poses / landmarks to a drawer,
+        # ic_gvins.cc:173-175 + tracking.cc's drawer updates)
+        self.drawer = drawer
+        self._n_fixed_pushed = 0
 
     def add_imu(self, t, dt, dtheta, dvel):
         self.est.add_imu(t, dt, dtheta, dvel)
@@ -67,6 +72,33 @@ class Pipeline:
             self.est.add_frame_observations(t, ids, uv, vel, force_kf=force)
             if len(self.est.track_log) > n_log:  # this frame made a keyframe
                 self.est.track_log[-1]["cost_ms"] = round(track_ms, 3)
+        if self.drawer is not None:
+            self._push_drawer(t, img)
+
+    def _push_drawer(self, t, img):
+        """Forward the frame's tracking/map/pose state to the drawer
+        (the reference's updateTrackedMapPoints/updateTrackedRefPoints/
+        updateFrame/updateMap/addNewFixedMappoint calls)."""
+        from .drawer import MAPPOINT_TRIANGULATED
+
+        fe, est, d = self.frontend, self.est, self.drawer
+        in_map = np.array(
+            [fid in est.lm_slot for fid in fe.last_tracked_ids], bool
+        )
+        d.update_tracked_mappoints(
+            fe.last_prev_pts[in_map], fe.last_cur_pts[in_map],
+            np.full(int(in_map.sum()), MAPPOINT_TRIANGULATED),
+        )
+        d.update_tracked_refpoints(
+            fe.last_prev_pts[~in_map], fe.last_cur_pts[~in_map]
+        )
+        d.update_frame(img)
+        s = est.predicted_state(t) or est.last_node_state
+        if s is not None:
+            d.update_odometry(t, np.asarray(s.p) + est.origin, np.asarray(s.q))
+        while self._n_fixed_pushed < len(est.fixed_mappoints):
+            d.add_new_fixed_mappoint(est.fixed_mappoints[self._n_fixed_pushed])
+            self._n_fixed_pushed += 1
 
     def trajectory(self):
         return self.est.trajectory()
