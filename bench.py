@@ -54,8 +54,17 @@ def main():
     dtype = jnp.float32
 
     # --- stage 1: tracking ---
+    # textured image (band-limited noise): white noise has gradient energy
+    # only at the pixel scale, which makes LK convergence unrepresentative
+    # of camera frames
     rng = np.random.RandomState(0)
     img0 = (rng.rand(IMG_H, IMG_W) * 255).astype(np.float32)
+    try:
+        from scipy.ndimage import gaussian_filter
+
+        img0 = gaussian_filter(img0, 2.0) * 4.0
+    except ImportError:
+        pass
     img1 = np.roll(img0, (2, 3), axis=(0, 1))
     pyr0 = pyramid.build_pyramid(jnp.asarray(img0), 3)
     pyr1 = pyramid.build_pyramid(jnp.asarray(img1), 3)
@@ -81,7 +90,10 @@ def main():
             out, ok, _ = klt_pallas.lk_track_bidirectional_pallas(
                 pyr0, pyr1, carry, carry, valid
             )
-            return carry + 0.0 * out, None
+            # keep the sequential dependency without poisoning the carry:
+            # 0.0 * NaN (a diverged track) would otherwise NaN the points
+            # and force worst-case iteration counts downstream
+            return carry + 0.0 * jnp.nan_to_num(out), None
 
         pts_out, _ = jax.lax.scan(body, pts, None, length=BATCH)
         win_out, stats = optimize_batch.__wrapped__(

@@ -87,37 +87,82 @@ def _split(v, lo, hi):
 def _kernel(pts_ref, img0_ref, img1_ref, out_pts_ref, out_ok_ref,
             win0, win1, sem):
     f = pl.program_id(0)
+    n = pl.num_programs(0)
     h = img0_ref.shape[0]
     w = img0_ref.shape[1]
-
-    x0 = pts_ref[f, 0]
-    y0 = pts_ref[f, 1]
-    x1 = pts_ref[f, 2]
-    y1 = pts_ref[f, 3]
 
     def clamp_base(c, center, dim, span, align):
         # DMA slice starts must be provably tile-aligned
         b = (jnp.round(c).astype(jnp.int32) - center) // align * align
         return pl.multiple_of(jnp.clip(b, 0, dim - span), align)
 
-    # 128-aligned lane base offset by 64 keeps the feature >=64 lanes from
-    # the window edge; 8-aligned row base likewise
+    def dma_pair(fi, slot):
+        """DMA descriptors for feature ``fi``'s search windows into buffer
+        ``slot``. 128-aligned lane base offset by 64 keeps the feature
+        >=64 lanes from the window edge; 8-aligned row base likewise."""
+        bx0 = clamp_base(pts_ref[fi, 0], 64, w, RCOLS, 128)
+        by0 = clamp_base(pts_ref[fi, 1], RROWS // 2, h, RROWS, 8)
+        bx1 = clamp_base(pts_ref[fi, 2], 64, w, RCOLS, 128)
+        by1 = clamp_base(pts_ref[fi, 3], RROWS // 2, h, RROWS, 8)
+        d0 = pltpu.make_async_copy(
+            img0_ref.at[pl.ds(by0, RROWS), pl.ds(bx0, RCOLS)],
+            win0.at[slot], sem.at[slot, 0],
+        )
+        d1 = pltpu.make_async_copy(
+            img1_ref.at[pl.ds(by1, RROWS), pl.ds(bx1, RCOLS)],
+            win1.at[slot], sem.at[slot, 1],
+        )
+        return d0, d1
+
+    # Double-buffered DMA across grid steps (scratch persists between
+    # programs on TPU): feature f+1's windows stream in while feature f
+    # computes, hiding the HBM latency that otherwise stalls every program.
+    one = jnp.asarray(1, jnp.int32)  # keep int32 under x64 interpret mode
+    slot = jax.lax.rem(f, 2 * one)
+    nxt = jax.lax.rem(f + one, 2 * one)
+
+    @pl.when(f == 0)
+    def _():
+        d0, d1 = dma_pair(f, slot)
+        d0.start()
+        d1.start()
+
+    @pl.when(f + 1 < n)
+    def _():
+        d0, d1 = dma_pair(f + 1, nxt)
+        d0.start()
+        d1.start()
+
+    d0, d1 = dma_pair(f, slot)
+    d0.wait()
+    d1.wait()
+
+    x0 = pts_ref[f, 0]
+    y0 = pts_ref[f, 1]
+    x1 = pts_ref[f, 2]
+    y1 = pts_ref[f, 3]
     bx0 = clamp_base(x0, 64, w, RCOLS, 128)
     by0 = clamp_base(y0, RROWS // 2, h, RROWS, 8)
     bx1 = clamp_base(x1, 64, w, RCOLS, 128)
     by1 = clamp_base(y1, RROWS // 2, h, RROWS, 8)
 
-    dma0 = pltpu.make_async_copy(
-        img0_ref.at[pl.ds(by0, RROWS), pl.ds(bx0, RCOLS)], win0, sem.at[0]
-    )
-    dma1 = pltpu.make_async_copy(
-        img1_ref.at[pl.ds(by1, RROWS), pl.ds(bx1, RCOLS)], win1, sem.at[1]
-    )
-    dma0.start()
-    dma1.start()
-    dma0.wait()
-    dma1.wait()
+    # Branch on the buffer slot so every in-loop window read uses a STATIC
+    # leading index (a dynamic scratch index inside the LK iteration loop
+    # lowers to slow addressing in Mosaic; the compute body is emitted
+    # twice instead).
+    @pl.when(slot == 0)
+    def _():
+        _lk_compute(win0.at[0], win1.at[0], out_pts_ref, out_ok_ref, f,
+                    x0, y0, x1, y1, bx0, by0, bx1, by1, h, w)
 
+    @pl.when(slot == 1)
+    def _():
+        _lk_compute(win0.at[1], win1.at[1], out_pts_ref, out_ok_ref, f,
+                    x0, y0, x1, y1, bx0, by0, bx1, by1, h, w)
+
+
+def _lk_compute(w0, w1, out_pts_ref, out_ok_ref, f,
+                x0, y0, x1, y1, bx0, by0, bx1, by1, h, w):
     m21 = _mask(WIN)
 
     # --- template patch + gradients (win0 local coords) ---
@@ -126,7 +171,7 @@ def _kernel(pts_ref, img0_ref, img1_ref, out_pts_ref, out_ok_ref,
     ix0, ax0 = _split(lx0 - HALF, 1, RCOLS - WIN - 2)
     iy0, ay0 = _split(ly0 - HALF, 1, RROWS - WIN - 2)
     # B[u, v] = bilinear(win0 at (iy0-1+u+ay0, ix0-1+v+ax0))
-    big = _bilinear_tile(_aligned_block(win0, iy0 - 1, ix0 - 1), ay0, ax0)
+    big = _bilinear_tile(_aligned_block(w0, iy0 - 1, ix0 - 1), ay0, ax0)
     br1 = pltpu.roll(big, TILE_R - 1, axis=0)
     bc1 = pltpu.roll(big, TILE_C - 1, axis=1)
     t = pltpu.roll(br1, TILE_C - 1, axis=1)  # patch at (+1, +1)
@@ -161,7 +206,7 @@ def _kernel(pts_ref, img0_ref, img1_ref, out_pts_ref, out_ok_ref,
         px, py, done = carry
         ix, ax = _split(px - HALF, 0, RCOLS - WIN - 1)
         iy, ay = _split(py - HALF, 0, RROWS - WIN - 1)
-        patch = _bilinear_tile(_aligned_block(win1, iy, ix), ay, ax)
+        patch = _bilinear_tile(_aligned_block(w1, iy, ix), ay, ax)
         diff = (patch - t) * m21
         b1 = jnp.sum(diff * gx)
         b2 = jnp.sum(diff * gy)
@@ -216,9 +261,9 @@ def _track_level_pallas(img0, img1, pts4, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((RROWS, RCOLS), jnp.float32),
-            pltpu.VMEM((RROWS, RCOLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, RROWS, RCOLS), jnp.float32),
+            pltpu.VMEM((2, RROWS, RCOLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out_pts, out_ok = pl.pallas_call(
