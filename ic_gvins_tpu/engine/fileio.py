@@ -4,10 +4,12 @@
 
 The reference streams fixed-width rows of doubles either as whitespace
 text or packed binary (``filesaver.cc:51-66``); the loaders read them back
-row-by-row (``fileloader.cc``). Here both are thin NumPy-backed classes so
-analysis tooling (scripts/show_*.py) and tests can round-trip every output
-file, including the binary IMU_ERR stream the reference writes as
-``IMU_ERR.bin``.
+row-by-row (``fileloader.cc``). Like the reference, the streaming layer is
+native: ``FileSaver``/``FileLoader`` are factories that return the C++
+implementation (``native/fileio.cpp`` via ctypes) when the native library
+is available, else the byte-compatible pure-Python classes below. Both
+cover every output file, including the binary IMU_ERR stream the reference
+writes as ``IMU_ERR.bin``.
 """
 
 from __future__ import annotations
@@ -20,7 +22,31 @@ TEXT = 0
 BINARY = 1
 
 
-class FileSaver:
+def FileSaver(path: str, columns: int, mode: int = TEXT):
+    """Columnar writer factory: native C++ backend when available."""
+    if mode not in (TEXT, BINARY):
+        raise ValueError(f"bad mode {mode}")
+    try:
+        from ..native import NativeFileSaver
+
+        return NativeFileSaver(path, columns, mode)
+    except (RuntimeError, OSError):
+        return PyFileSaver(path, columns, mode)
+
+
+def FileLoader(path: str, columns: int, mode: int = TEXT):
+    """Columnar reader factory: native C++ backend when available."""
+    if mode not in (TEXT, BINARY):
+        raise ValueError(f"bad mode {mode}")
+    try:
+        from ..native import NativeFileLoader
+
+        return NativeFileLoader(path, columns, mode)
+    except (RuntimeError, OSError):
+        return PyFileLoader(path, columns, mode)
+
+
+class PyFileSaver:
     """Row-oriented columnar writer (``filesaver.cc:51-66``).
 
     ``dump(row)`` writes one row of ``columns`` doubles; TEXT rows are
@@ -66,7 +92,7 @@ class FileSaver:
         self.close()
 
 
-class FileLoader:
+class PyFileLoader:
     """Row-oriented columnar reader (``fileloader.cc``): ``load()`` returns
     the next row or None at EOF; ``load_all()`` returns an [n, columns]
     array. Text rows may carry ``#`` comments (skipped)."""

@@ -18,12 +18,18 @@ _DIR = os.path.dirname(__file__)
 _SO = os.path.join(_DIR, "libicgvins_native.so")
 
 
+_SOURCES = ("imu_buffer.cpp", "fileio.cpp", "csv.cpp")
+
+
 def build(force: bool = False) -> str:
     """Compile the native library (g++ -O3 -shared)."""
-    src = os.path.join(_DIR, "imu_buffer.cpp")
-    if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(src):
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
+    stale = force or not os.path.exists(_SO) or any(
+        os.path.getmtime(_SO) < os.path.getmtime(s) for s in srcs
+    )
+    if stale:
         subprocess.check_call(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", _SO]
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", *srcs, "-o", _SO]
         )
     return _SO
 
@@ -58,6 +64,24 @@ def load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ]
+    dp = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.filesaver_create.restype = ctypes.c_void_p
+    lib.filesaver_create.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
+    lib.filesaver_dumpn.restype = ctypes.c_int64
+    lib.filesaver_dumpn.argtypes = [ctypes.c_void_p, dp, ctypes.c_int64]
+    lib.filesaver_flush.restype = ctypes.c_int
+    lib.filesaver_flush.argtypes = [ctypes.c_void_p]
+    lib.filesaver_close.argtypes = [ctypes.c_void_p]
+    lib.fileloader_open.restype = ctypes.c_void_p
+    lib.fileloader_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
+    lib.fileloader_read.restype = ctypes.c_int64
+    lib.fileloader_read.argtypes = [ctypes.c_void_p, dp, ctypes.c_int64]
+    lib.fileloader_close.argtypes = [ctypes.c_void_p]
+    lib.csv_scan.restype = ctypes.c_int
+    lib.csv_scan.argtypes = [ctypes.c_char_p, i64p, i64p]
+    lib.csv_load.restype = ctypes.c_int64
+    lib.csv_load.argtypes = [ctypes.c_char_p, dp, ctypes.c_int64, ctypes.c_int64]
     _LIB = lib
     return lib
 
@@ -111,3 +135,131 @@ class NativeImuBuffer:
         if n < 0:
             raise ValueError(f"IMU slice exceeds capacity {n_pad}")
         return time, dt, dtheta, dvel
+
+
+class NativeFileSaver:
+    """ctypes wrapper over the C++ columnar writer (fileio.cpp); byte-
+    compatible with ``engine.fileio.FileSaver`` (filesaver.cc:51-66)."""
+
+    def __init__(self, path: str, columns: int, mode: int = 0):
+        self._lib = load()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        self.path, self.columns, self.mode = path, int(columns), mode
+        self._h = self._lib.filesaver_create(
+            path.encode(), self.columns, int(mode)
+        )
+        if not self._h:
+            raise OSError(f"cannot open {path}")
+
+    def dump(self, row) -> None:
+        self.dumpn(np.asarray(row, np.float64).reshape(1, -1))
+
+    def dumpn(self, rows) -> None:
+        rows = np.ascontiguousarray(rows, np.float64).reshape(-1, self.columns)
+        n = self._lib.filesaver_dumpn(
+            self._h, rows.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            rows.shape[0],
+        )
+        if n != rows.shape[0]:
+            raise OSError(f"short write to {self.path}")
+
+    def flush(self) -> None:
+        self._lib.filesaver_flush(self._h)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.filesaver_close(self._h)
+            self._h = None
+
+    __del__ = close
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class NativeFileLoader:
+    """ctypes wrapper over the C++ columnar reader (fileio.cpp)."""
+
+    _CHUNK = 4096
+
+    def __init__(self, path: str, columns: int, mode: int = 0):
+        self._lib = load()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self.path, self.columns, self.mode = path, int(columns), mode
+        self._h = self._lib.fileloader_open(
+            path.encode(), self.columns, int(mode)
+        )
+        if not self._h:
+            raise OSError(f"cannot open {path}")
+        self._buf = np.zeros((0, self.columns), np.float64)
+        self._pos = 0
+
+    def _refill(self) -> bool:
+        out = np.empty((self._CHUNK, self.columns), np.float64)
+        n = self._lib.fileloader_read(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self._CHUNK,
+        )
+        if n < 0:
+            raise ValueError(f"{self.path}: malformed row")
+        self._buf, self._pos = out[:n], 0
+        return n > 0
+
+    def load(self):
+        if self._pos >= len(self._buf) and not self._refill():
+            return None
+        row = self._buf[self._pos].copy()
+        self._pos += 1
+        return row
+
+    def load_all(self) -> np.ndarray:
+        chunks = [self._buf[self._pos:]]
+        while self._refill():
+            chunks.append(self._buf)
+        self._buf = np.zeros((0, self.columns), np.float64)
+        self._pos = 0
+        return np.concatenate(chunks, axis=0)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.fileloader_close(self._h)
+            self._h = None
+
+    __del__ = close
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def load_numeric_table(path: str) -> np.ndarray | None:
+    """Fast C++ parse of a numeric CSV/whitespace table (csv.cpp), or None
+    when the native library is unavailable (caller falls back to numpy)."""
+    lib = load()
+    if lib is None:
+        return None
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    rc = lib.csv_scan(path.encode(), ctypes.byref(rows), ctypes.byref(cols))
+    if rc == -1:
+        raise OSError(f"cannot read {path}")
+    if rc != 0:
+        return None  # ragged table: let numpy produce its usual error
+    out = np.empty((rows.value, cols.value), np.float64)
+    n = lib.csv_load(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        rows.value, cols.value,
+    )
+    if n != rows.value:
+        return None
+    return out

@@ -75,3 +75,56 @@ def test_native_matches_python_slicer(lib):
     np.testing.assert_allclose(np.asarray(seq.dt), dtN, atol=1e-12)
     np.testing.assert_allclose(np.asarray(seq.dtheta), thN, atol=1e-12)
     np.testing.assert_allclose(np.asarray(seq.dvel), dvN, atol=1e-12)
+
+
+def test_native_fileio_matches_python(lib, tmp_path):
+    """C++ FileSaver/FileLoader are byte-compatible with the Python layer
+    (both mirror filesaver.cc:51-66 / fileloader.cc)."""
+    from ic_gvins_tpu.engine import fileio
+
+    rows = np.random.RandomState(2).randn(23, 4)
+    for mode, name in [(fileio.TEXT, "t"), (fileio.BINARY, "b")]:
+        p_nat = str(tmp_path / f"nat_{name}")
+        p_py = str(tmp_path / f"py_{name}")
+        with native.NativeFileSaver(p_nat, 4, mode) as fs:
+            fs.dumpn(rows)
+        with fileio.PyFileSaver(p_py, 4, mode) as fs:
+            fs.dumpn(rows)
+        assert open(p_nat, "rb").read() == open(p_py, "rb").read()
+        with native.NativeFileLoader(p_nat, 4, mode) as fl:
+            back_nat = fl.load_all()
+        with fileio.PyFileLoader(p_py, 4, mode) as fl:
+            back_py = fl.load_all()
+        np.testing.assert_array_equal(back_nat, back_py)
+
+
+def test_native_fileio_row_width_checked(lib, tmp_path):
+    fs = native.NativeFileSaver(str(tmp_path / "f.txt"), 3)
+    with pytest.raises(ValueError):
+        fs.dump([1.0, 2.0])
+    fs.close()
+
+
+def test_native_fileloader_comments_and_rowwise(lib, tmp_path):
+    p = tmp_path / "c.txt"
+    p.write_text("# header\n1 2\n  \n3 4  # trailing\n")
+    with native.NativeFileLoader(str(p), 2) as fl:
+        np.testing.assert_allclose(fl.load(), [1, 2])
+        np.testing.assert_allclose(fl.load(), [3, 4])
+        assert fl.load() is None
+
+
+def test_native_csv_parser(lib, tmp_path):
+    """Streaming strtod parser matches np.loadtxt on KAIST-style tables."""
+    rng = np.random.RandomState(3)
+    table = np.concatenate(
+        [rng.randint(0, 2**62, (50, 1)).astype(np.float64), rng.randn(50, 16)],
+        axis=1,
+    )
+    p = str(tmp_path / "imu.csv")
+    np.savetxt(p, table, delimiter=",", fmt="%.17g")
+    out = native.load_numeric_table(p)
+    np.testing.assert_allclose(out, np.loadtxt(p, delimiter=","), rtol=0, atol=0)
+    # ragged tables fall back to numpy (returns None)
+    (tmp_path / "r.csv").write_text("1,2\n3\n")
+    assert native.load_numeric_table(str(tmp_path / "r.csv")) is None
