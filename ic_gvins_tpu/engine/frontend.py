@@ -28,7 +28,7 @@ import numpy as np
 
 from ..common import rotation as rot
 from ..vision import camera as cam_mod
-from ..vision.detector import detect_features
+from ..vision.detector import corner_subpix, detect_features
 from ..vision.klt import lk_track_bidirectional
 from ..vision.pyramid import build_pyramid
 from ..vision import ransac as ransac_mod
@@ -42,7 +42,8 @@ class Frontend:
                  check_histogram: bool = False,
                  histogram_threshold: float = 0.7,
                  fm_ransac: bool = True,
-                 ransac_threshold: float = 1.5):
+                 ransac_threshold: float = 1.5,
+                 subpix: bool = True):
         self.cam = cam
         self.max_features = max_features
         self.levels = pyramid_levels
@@ -55,6 +56,7 @@ class Frontend:
         self.histogram_threshold = histogram_threshold
         self.fm_ransac = fm_ransac
         self.ransac_threshold = ransac_threshold
+        self.subpix = subpix
         self.frame_count = 0
         self.min_track_features = max(8, max_features // 20)
         self.track_lost = False  # set when the last frame triggered a reset
@@ -178,6 +180,10 @@ class Frontend:
                 pyr[0], jnp.asarray(self.pts), jnp.asarray(self.valid),
                 cell=self.cell, max_new=self.max_features,
             )
+            # subpixel refinement of the fresh corners (the cornerSubPix
+            # pass of tracking.cc:622-652)
+            if self.subpix:
+                pts_new = corner_subpix(pyr[0], pts_new, ok_new)
             pts_new = np.asarray(pts_new)
             ok_new = np.asarray(ok_new)
             free = np.nonzero(~self.valid)[0]

@@ -111,3 +111,86 @@ def detect_features(
     order = jnp.argsort(-score)
     take = order[:max_new]
     return pts[take], score[take], ok[take]
+
+
+@partial(jax.jit, static_argnames=("win", "max_iters"))
+def corner_subpix(
+    img: jax.Array,
+    pts: jax.Array,
+    valid: jax.Array,
+    win: int = 5,
+    max_iters: int = 20,
+    eps: float = 0.01,
+):
+    """Subpixel corner refinement, batched over points.
+
+    Capability parity with the ``cv::cornerSubPix`` call after block
+    detection (``tracking.cc:622-652``: win 5x5, no zero zone, 20 iters,
+    eps 0.01): iterate q = p + A^-1 b over the Gaussian-weighted structure
+    tensor of a (2*win+1)^2 window until the update is below eps. Points
+    whose refinement diverges beyond the window revert to their input.
+    Returns refined pts [N, 2].
+    """
+    imgf = img.astype(jnp.float32)
+    size = 2 * win + 1
+    # Gaussian window weights, exp(-(i/win)^2 - (j/win)^2)
+    r = (jnp.arange(size, dtype=jnp.float32) - win) / win
+    wts = jnp.exp(-r * r)[:, None] * jnp.exp(-r * r)[None, :]
+    off = jnp.arange(-win - 1, win + 2, dtype=jnp.float32)  # size + 2
+    px = (jnp.arange(size, dtype=jnp.float32) - win)[None, :]
+    py = (jnp.arange(size, dtype=jnp.float32) - win)[:, None]
+
+    def refine(pt0):
+        def step(carry):
+            i, pt, _ = carry
+            patch = _det_bilinear(imgf, pt[1] + off[:, None], pt[0] + off[None, :])
+            gx = patch[1:-1, 2:] - patch[1:-1, :-2]
+            gy = patch[2:, 1:-1] - patch[:-2, 1:-1]
+            gxx = gx * gx * wts
+            gxy = gx * gy * wts
+            gyy = gy * gy * wts
+            a = jnp.sum(gxx)
+            b = jnp.sum(gxy)
+            c = jnp.sum(gyy)
+            bb1 = jnp.sum(gxx * px + gxy * py)
+            bb2 = jnp.sum(gxy * px + gyy * py)
+            det = a * c - b * b
+            ok = jnp.abs(det) > 1e-12
+            scale = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            d = jnp.array([c * bb1 - b * bb2, a * bb2 - b * bb1]) * scale
+            err = jnp.sum(d * d)
+            return i + 1, pt + d, jnp.where(ok, err, 0.0)
+
+        def cond(carry):
+            i, pt, err = carry
+            h, w = imgf.shape
+            inb = (pt[0] >= 0) & (pt[0] < w) & (pt[1] >= 0) & (pt[1] < h)
+            return (i < max_iters) & (err > eps * eps) & inb
+
+        _, pt, _ = jax.lax.while_loop(cond, step, (0, pt0, jnp.inf))
+        # revert points that drifted out of the search window
+        drift = jnp.abs(pt - pt0)
+        bad = (drift[0] > win + 1) | (drift[1] > win + 1)
+        return jnp.where(bad, pt0, pt)
+
+    pts32 = pts.astype(jnp.float32)
+    out = jax.vmap(refine)(pts32)
+    return jnp.where(valid[:, None], out, pts32)
+
+
+def _det_bilinear(img, y, x):
+    h, w = img.shape
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    ax = jnp.clip(x - x0, 0.0, 1.0)
+    ay = jnp.clip(y - y0, 0.0, 1.0)
+    i00 = img[y0, x0]
+    i01 = img[y0, x0 + 1]
+    i10 = img[y0 + 1, x0]
+    i11 = img[y0 + 1, x0 + 1]
+    return (
+        i00 * (1 - ay) * (1 - ax)
+        + i01 * (1 - ay) * ax
+        + i10 * ay * (1 - ax)
+        + i11 * ay * ax
+    )

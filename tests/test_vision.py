@@ -163,3 +163,52 @@ def test_detector_finds_separated_corners():
     d = jnp.linalg.norm(pts2[:, None, :] - pts[None, :, :], axis=-1)
     dmin = jnp.min(jnp.where(ok[None, :], d, jnp.inf), axis=1)
     assert float(jnp.min(jnp.where(ok2, dmin, jnp.inf))) >= detector.MASK_RADIUS - 1.0
+
+
+def _corner_image(cx, cy, h=64, w=64, soft=1.5):
+    """Checkerboard saddle at (cx, cy): by symmetry, the gradient-normal
+    intersection (the cornerSubPix fixed point) is exactly the saddle."""
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    tx = np.tanh((xs - cx) / soft)
+    ty = np.tanh((ys - cy) / soft)
+    return (127.0 * (1.0 + tx * ty) + 1.0).astype(np.float32)
+
+
+def test_corner_subpix_recovers_true_corner():
+    cx, cy = 31.37, 30.62
+    img = _corner_image(cx, cy)
+    pts = jnp.asarray([[31.0, 31.0], [32.0, 30.0]], jnp.float32)
+    ok = jnp.ones(2, bool)
+    out = np.asarray(detector.corner_subpix(jnp.asarray(img), pts, ok))
+    for p in out:
+        assert abs(p[0] - cx) < 0.1 and abs(p[1] - cy) < 0.1
+
+
+def test_corner_subpix_matches_opencv():
+    cv2 = __import__("cv2")
+    img = random_texture(128, 160, seed=11)
+    none = jnp.zeros((1, 2))
+    pts, _, ok = detector.detect_features(
+        jnp.asarray(img), none, jnp.zeros(1, bool), cell=32, max_new=16
+    )
+    ours = np.asarray(detector.corner_subpix(jnp.asarray(img), pts, ok))
+    ref = np.asarray(pts, np.float32).reshape(-1, 1, 2).copy()
+    cv2.cornerSubPix(
+        img.astype(np.uint8), ref, (5, 5), (-1, -1),
+        (cv2.TERM_CRITERIA_COUNT + cv2.TERM_CRITERIA_EPS, 20, 0.01),
+    )
+    ref = ref.reshape(-1, 2)
+    sel = np.asarray(ok)
+    # uint8 quantization + border handling differ slightly; both must agree
+    # to a small fraction of a pixel on well-conditioned corners
+    d = np.linalg.norm(ours[sel] - ref[sel], axis=1)
+    assert np.median(d) < 0.25
+
+
+def test_corner_subpix_invalid_points_unchanged():
+    img = random_texture(64, 64, seed=3)
+    pts = jnp.asarray([[10.0, 10.0], [40.0, 40.0]], jnp.float32)
+    ok = jnp.asarray([False, True])
+    out = np.asarray(detector.corner_subpix(jnp.asarray(img), pts, ok))
+    assert np.allclose(out[0], [10.0, 10.0])
