@@ -190,6 +190,8 @@ class Estimator:
         self.free_slots = list(range(cfg.max_landmarks - 1, -1, -1))
         self.stats: list[dict] = []
         self.track_log: list[dict] = []  # per-keyframe tracking diagnostics
+        self._ext_accepted = None  # last sanity-accepted extrinsic (p, q)
+        self._kf_kind = "normal"
         self._last_parallax = 0.0
         # world positions of landmarks fixed at marginalization (the
         # reference dumps each to mappoint.txt as it leaves the window,
@@ -435,7 +437,11 @@ class Estimator:
             self._optimize_round()
             return
         if t < self.node_times[-1]:
-            return  # stale fix older than the window head
+            # late-arriving fix inside the window: attach to a nearby node
+            # with velocity compensation, or insert a node mid-window
+            # (parity insertNewGnssTimeNode, ic_gvins.cc:825-922)
+            self._insert_gnss_node(t, p, std)
+            return
         if self.imu.time[-1] < t:
             return  # wait for IMU coverage; caller retries
         self._add_time_node(t, is_kf=False)
@@ -447,6 +453,91 @@ class Estimator:
             gnss_std_base=w.gnss_std_base.at[n].set(jnp.asarray(std)),
             gnss_valid=w.gnss_valid.at[n].set(True),
         )
+        self._optimize_round()
+
+    def _attach_gnss(self, k: int, t: float, p, std, inflate=1.0):
+        """Attach a fix to node k, velocity-compensating the position for
+        the time offset (ic_gvins.cc:864-891: p ± v·dt, std × 1.2)."""
+        w = self.window
+        v = np.asarray(w.nodes.v[k])
+        dt = self.node_times[k] - t
+        p_c = np.asarray(p) + v * dt
+        s = np.asarray(std) * inflate
+        self.window = w._replace(
+            gnss_p=w.gnss_p.at[k].set(jnp.asarray(p_c)),
+            gnss_std=w.gnss_std.at[k].set(jnp.asarray(s)),
+            gnss_std_base=w.gnss_std_base.at[k].set(jnp.asarray(s)),
+            gnss_valid=w.gnss_valid.at[k].set(True),
+        )
+
+    def _insert_gnss_node(self, t: float, p, std):
+        """Late fix with t inside the window (parity insertNewGnssTimeNode,
+        ic_gvins.cc:825-922): align to an adjacent node when within the
+        sync interval; otherwise split the enclosing preintegration and
+        insert a dedicated GNSS node, shifting the window tail up."""
+        from ..factors.marginalization import insert_node as _insert
+
+        # locate the enclosing interval [k-1, k]
+        k = None
+        for j in range(len(self.node_times) - 1, 0, -1):
+            if self.node_times[j - 1] < t <= self.node_times[j]:
+                k = j
+                break
+        if k is None:
+            return  # older than the window head: drop
+        if t - self.node_times[k - 1] < self.cfg.min_sync_interval:
+            self._attach_gnss(k - 1, t, p, std, inflate=1.2)
+        elif self.node_times[k] - t < self.cfg.min_sync_interval:
+            self._attach_gnss(k, t, p, std, inflate=1.2)
+        else:
+            if (
+                float(self.window.preint.dt[k - 1])
+                > self.cfg.max_preint_length
+            ):
+                return  # avoid reintegrating a long-time preintegration
+            if self.n_nodes >= self.cfg.max_nodes - 1:
+                return  # no free slot this round; drop the fix
+            self.window, self.prior = _insert(
+                self.window, self.prior, k, self.n_nodes
+            )
+            self.node_times.insert(k, t)
+            self.node_is_kf.insert(k, False)
+            self.n_nodes += 1
+            # split the preintegration: [k-1 -> t] and [t -> k+1]
+            state_prev = self.window.nodes.index(k - 1)
+            imu0 = self.imu.slice_between(
+                self.node_times[k - 1], t, self.cfg.max_imu_per_interval
+            )
+            data0 = self._preintegrate(state_prev, imu0)
+            new_state = data0.end_state
+            nodes = self.window.nodes
+            nodes = NavState(
+                time=nodes.time.at[k].set(new_state.time),
+                p=nodes.p.at[k].set(new_state.p),
+                q=nodes.q.at[k].set(new_state.q),
+                v=nodes.v.at[k].set(new_state.v),
+                bg=nodes.bg.at[k].set(new_state.bg),
+                ba=nodes.ba.at[k].set(new_state.ba),
+            )
+            self.window = self.window._replace(nodes=nodes)
+            imu1 = self.imu.slice_between(
+                t, self.node_times[k + 1], self.cfg.max_imu_per_interval
+            )
+            data1 = self._preintegrate(new_state, imu1)
+            preint = jax.tree.map(
+                lambda full, x: full.at[k - 1].set(x), self.window.preint, data0
+            )
+            preint = jax.tree.map(
+                lambda full, x: full.at[k].set(x), preint, data1
+            )
+            self.window = self.window._replace(
+                preint=preint,
+                preint_valid=self.window.preint_valid.at[k - 1]
+                .set(True)
+                .at[k]
+                .set(True),
+            )
+            self._attach_gnss(k, t, p, std)
         self._optimize_round()
 
     # ------------------------------------------------------------------
@@ -468,11 +559,13 @@ class Estimator:
         uv = np.asarray(uv, np.float64)
         vel = np.zeros_like(uv) if vel is None else np.asarray(vel, np.float64)
 
+        self._kf_kind = "normal"
         is_kf = self._keyframe_decision(t, ids, uv) if force_kf is None else force_kf
         if not is_kf:
             return
         if t < self.node_times[-1] + self.cfg.keyframe_min_interval:
             return
+        kf_kind = self._kf_kind
 
         self._add_time_node(t, is_kf=True)
         n = self.n_nodes - 1
@@ -538,7 +631,9 @@ class Estimator:
 
         if self.state == INITIALIZING_INS:
             self.state = TRACKING_NORMAL
-        self._optimize_round()
+        self._optimize_round(
+            remove_node_t=t if kf_kind == "second_new" else None
+        )
 
     def _keyframe_decision(self, t, ids, uv) -> bool:
         if not any(self.node_is_kf):
@@ -558,9 +653,18 @@ class Estimator:
             k_last = np.nonzero(obs_valid[slot])[0][-1]
             ds.append(np.linalg.norm(xy - obs_uv[slot, k_last]) * focal)
         self._last_parallax = float(np.mean(ds)) if ds else 0.0
-        if t - last_kf_t > self.cfg.track_max_interval:
+        if bool(ds) and self._last_parallax > self.cfg.track_min_parallax:
+            self._kf_kind = "normal"
             return True
-        return bool(ds) and self._last_parallax > self.cfg.track_min_parallax
+        if t - last_kf_t > self.cfg.track_max_interval:
+            # long interval but low parallax: the frame becomes a
+            # second-new keyframe — it constrains one optimization round,
+            # then its node is removed and the preintegration merged
+            # (KEYFRAME_REMOVE_SECOND_NEW, tracking.cc:281-284 +
+            # gvinsRemoveAllSecondNewFrame, ic_gvins.cc:1425-1445)
+            self._kf_kind = "second_new"
+            return True
+        return False
 
     def _init_new_depths(self, n):
         """Triangulate landmarks anchored earlier and first re-observed now
@@ -609,7 +713,7 @@ class Estimator:
     # optimization + marginalization round
     # ------------------------------------------------------------------
 
-    def _optimize_round(self):
+    def _optimize_round(self, remove_node_t: float | None = None):
         import time as _time
 
         # initialization phase: longer solve, no chi2 culling
@@ -638,6 +742,13 @@ class Estimator:
             * float(self.solver_cfg.reproj_std) * focal
         )
         errs = px_err[m]
+        # extrinsic sanity gate + landmark-level culling (reference order:
+        # doReintegration -> updateParameters -> gvinsOutlierCulling,
+        # ic_gvins.cc:1260-1270)
+        self._extrinsic_gate()
+        n_out_lm, n_out_feat = (
+            self._outlier_culling(px_err) if not warming_up else (0, 0)
+        )
         self.stats.append(
             dict(
                 t=self.node_times[-1],
@@ -651,6 +762,8 @@ class Estimator:
                 reproj_rms=float(np.sqrt((errs**2).mean())) if errs.size else 0.0,
                 n_obs=int(m.sum()),
                 culled=int(ncull),
+                outlier_mappoints=n_out_lm,
+                outlier_features=n_out_feat,
                 n_nodes=self.n_nodes,
                 timecost_ms=round(t_opt * 1e3, 2),
             )
@@ -660,6 +773,29 @@ class Estimator:
         self.last_node_state = self.window.nodes.index(self.n_nodes - 1)
         self._log_pose()
 
+        # second-new keyframe: after contributing one round, its node is
+        # removed and the preintegration merged (removal BEFORE the slide,
+        # parity ic_gvins.cc:461-475 ordering)
+        if remove_node_t is not None:
+            for i, tt in enumerate(self.node_times):
+                if abs(tt - remove_node_t) < 1e-9 and i > 0:
+                    self._remove_node(i)
+                    break
+
+        # keyframes left empty by outlier culling are removed the same way
+        # (ic_gvins.cc:1431-1438: features().empty() and not the newest)
+        if not warming_up:
+            j = 1
+            while j < self.n_nodes - 1:
+                if (
+                    self.node_is_kf[j]
+                    and not bool(np.asarray(self.window.obs_valid)[:, j].any())
+                    and not bool(self.window.gnss_valid[j])
+                ):
+                    self._remove_node(j)
+                else:
+                    j += 1
+
         # slide while over-full (parity ic_gvins.cc:472-475): too many
         # keyframes OR node slots nearly exhausted
         while (
@@ -667,6 +803,108 @@ class Estimator:
             or self.n_nodes > self.cfg.max_nodes - 2
         ):
             self._marginalize_oldest()
+
+    def _extrinsic_gate(self):
+        """Reject implausible per-round extrinsic jumps (> 1 m or > 5 deg
+        from the last accepted calibration) — parity with the sanity check
+        in ``updateParametersFromOptimizer`` (ic_gvins.cc:1354-1364)."""
+        if not self.cfg.optimize_estimate_extrinsic:
+            return
+        if self._ext_accepted is None:
+            self._ext_accepted = (self.window.ext_p, self.window.ext_q)
+            return
+        p0, q0 = self._ext_accepted
+        dt = float(jnp.linalg.norm(self.window.ext_p - p0))
+        dq = rot.quat_mul(rot.quat_inv(q0), self.window.ext_q)
+        dr = float(np.degrees(2.0 * math.atan2(
+            np.linalg.norm(np.asarray(dq)[1:]), abs(float(dq[0]))
+        )))
+        if dt > 1.0 or dr > 5.0:
+            from ..common.logging import LOGE
+
+            LOGE(
+                f"Estimated extrinsic is too large, dt={dt:.3f} m, "
+                f"dr={dr:.2f} deg; reverting"
+            )
+            self.window = self.window._replace(ext_p=p0, ext_q=q0)
+        else:
+            self._ext_accepted = (self.window.ext_p, self.window.ext_q)
+
+    def _outlier_culling(self, px_err: np.ndarray) -> tuple[int, int]:
+        """Landmark-level reprojection culling after the round (parity
+        ``gvinsOutlierCulling``, ic_gvins.cc:1069-1162): observations with
+        pixel error beyond 3 sigma are disabled — a bad observation in the
+        landmark's reference frame kills the landmark outright; landmarks
+        with fewer than two surviving observations or mean error above
+        sigma are removed from the window."""
+        w = self.window
+        obs_valid = np.asarray(w.obs_valid)
+        lm_valid = np.asarray(w.lm_valid)
+        lm_ref = np.asarray(w.lm_ref)
+        sigma = self.cfg.reprojection_error_std
+        bad = obs_valid & lm_valid[:, None] & (px_err > 3.0 * sigma)
+        L = px_err.shape[0]
+        ref_bad = bad[np.arange(L), lm_ref]
+        surv = obs_valid & ~bad
+        nsurv = surv.sum(axis=1)
+        avg = (px_err * surv).sum(axis=1) / np.maximum(nsurv, 1)
+        kill = lm_valid & (ref_bad | (nsurv < 2) | (avg > sigma))
+        n_feat = int(bad.sum())
+        n_lm = int(kill.sum())
+        if n_feat == 0 and n_lm == 0:
+            return 0, 0
+        obs_valid = surv & ~kill[:, None]
+        lm_valid = lm_valid & ~kill
+        self.window = w._replace(
+            obs_valid=jnp.asarray(obs_valid), lm_valid=jnp.asarray(lm_valid)
+        )
+        for fid in [f for f, s in self.lm_slot.items() if kill[s]]:
+            self.free_slots.append(self.lm_slot.pop(fid))
+        return n_lm, n_feat
+
+    def _remove_node(self, i: int):
+        """Remove time node i and merge the adjacent preintegrations by
+        re-running the merged IMU span (parity removeUnusedTimeNode,
+        ic_gvins.cc:788-823 — the reference concatenates the raw IMU
+        buffers and reintegrates)."""
+        from ..factors.marginalization import remove_node as _remove
+
+        n = self.n_nodes
+        assert 0 < i < n
+        self.window, self.prior = _remove(self.window, self.prior, i, n)
+        was_kf = self.node_is_kf.pop(i)
+        self.node_times.pop(i)
+        self.n_nodes -= 1
+        if was_kf:
+            self.n_keyframes -= 1
+        # landmark slots anchored at the removed node died inside remove();
+        # reclaim their host slots
+        lm_valid = np.asarray(self.window.lm_valid)
+        obs_any = np.asarray(self.window.obs_valid).any(axis=1)
+        dead = [
+            fid for fid, s in self.lm_slot.items()
+            if not lm_valid[s] and not obs_any[s]
+        ]
+        for fid in dead:
+            self.free_slots.append(self.lm_slot.pop(fid))
+        if i < self.n_nodes:
+            # interior removal: re-preintegrate the merged interval into
+            # slot i-1 (now spanning node i-1 -> old node i+1)
+            t0, t1 = self.node_times[i - 1], self.node_times[i]
+            imu = self.imu.slice_between(t0, t1, self.cfg.max_imu_per_interval)
+            state_prev = self.window.nodes.index(i - 1)
+            data = self._preintegrate(state_prev, imu)
+            self.window = self.window._replace(
+                preint=jax.tree.map(
+                    lambda full, x: full.at[i - 1].set(x),
+                    self.window.preint, data,
+                ),
+                preint_valid=self.window.preint_valid.at[i - 1].set(True),
+            )
+        else:
+            # tail removal: mechanization restarts from the new last node
+            self.last_node_state = self.window.nodes.index(self.n_nodes - 1)
+            self.cur_state = self.last_node_state
 
     def _maybe_reintegrate(self):
         """Re-preintegrate intervals whose bias linearization drifted more

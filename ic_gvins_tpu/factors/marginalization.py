@@ -230,3 +230,154 @@ def marginalize_and_slide(window: Window, prior: Prior, cfg, params,
     """Full marginalization round: build the new prior, then slide."""
     new_prior = marginalize_node0(window, prior, cfg, params, forgetting)
     return slide_window(window, new_prior)
+
+
+def remove_node(window: Window, prior: Prior, i: int,
+                n_active: int) -> tuple[Window, Prior]:
+    """Drop interior/tail time node ``i`` (host index < ``n_active``),
+    shifting the nodes above it down one slot.
+
+    Capability parity with the second-new-keyframe removal
+    (``gvinsRemoveAllSecondNewFrame``, ic_gvins.cc:1425-1445) plus the
+    time-node merge (``removeUnusedTimeNode``, ic_gvins.cc:788-823). The
+    preintegration slot layout after removal leaves slot ``i-1`` spanning
+    the merged interval node ``i-1`` -> old node ``i+1``; the caller (who
+    owns the IMU buffer) must re-preintegrate that span and overwrite the
+    slot — the reference merges the raw IMU buffers and reintegrates the
+    same way. Landmarks anchored at node ``i`` are invalidated (their
+    reference frame is gone, map.cc:89-125 semantics); later anchors shift
+    down. The prior's node-``i`` columns are dropped — by construction the
+    prior only has support near node 0 while removal targets fresh frames.
+    """
+    assert 0 < i < n_active
+
+    def drop(x):
+        # pad with the stale last entry, NOT zeros: freed slots are masked
+        # but still *evaluated* in the fixed-shape factor kernels, and a
+        # zero quaternion / zero covariance would NaN through the mask
+        # (same reason slide_window rolls instead of clearing)
+        return jnp.concatenate([x[:i], x[i + 1 :], x[-1:]], 0)
+
+    nodes = jax.tree.map(drop, window.nodes)
+    # preintervals: slot k joins node k -> k+1. Removing node i kills the
+    # interval starting at i (or, for the tail node, the one ending at i).
+    j = i if i < n_active - 1 else i - 1
+
+    def drop_pre(x):
+        return jnp.concatenate([x[:j], x[j + 1 :], x[-1:]], 0)
+
+    preint = jax.tree.map(drop_pre, window.preint)
+    preint_valid = drop_pre(window.preint_valid).at[-1].set(False)
+    if i >= n_active - 1:
+        preint_valid = preint_valid.at[i - 1].set(False)
+
+    obs_uv = jnp.concatenate(
+        [window.obs_uv[:, :i], window.obs_uv[:, i + 1 :],
+         jnp.zeros_like(window.obs_uv[:, :1])], 1)
+    obs_vel = jnp.concatenate(
+        [window.obs_vel[:, :i], window.obs_vel[:, i + 1 :],
+         jnp.zeros_like(window.obs_vel[:, :1])], 1)
+    obs_valid = jnp.concatenate(
+        [window.obs_valid[:, :i], window.obs_valid[:, i + 1 :],
+         jnp.zeros_like(window.obs_valid[:, :1])], 1)
+
+    lm_dead = (window.lm_ref == i) & window.lm_valid
+    lm_valid = window.lm_valid & ~lm_dead
+    lm_ref = jnp.where(window.lm_ref > i, window.lm_ref - 1, window.lm_ref)
+    obs_valid = obs_valid & ~lm_dead[:, None]
+
+    win = window._replace(
+        nodes=nodes,
+        node_valid=drop(window.node_valid).at[-1].set(False),
+        node_is_kf=drop(window.node_is_kf).at[-1].set(False),
+        preint=preint, preint_valid=preint_valid,
+        gnss_p=drop(window.gnss_p), gnss_std=drop(window.gnss_std),
+        gnss_std_base=drop(window.gnss_std_base),
+        gnss_valid=drop(window.gnss_valid).at[-1].set(False),
+        frame_td=drop(window.frame_td),
+        obs_uv=obs_uv, obs_vel=obs_vel, obs_valid=obs_valid,
+        lm_valid=lm_valid, lm_ref=lm_ref,
+    )
+
+    N = window.n_nodes
+    J = prior.J
+    node_part = J[:, : N * NODE_DOF].reshape(-1, N, NODE_DOF)
+    node_part = jnp.concatenate(
+        [node_part[:, :i], node_part[:, i + 1 :],
+         jnp.zeros_like(node_part[:, :1])], 1)
+    J_new = jnp.concatenate(
+        [node_part.reshape(-1, N * NODE_DOF), J[:, N * NODE_DOF :]], axis=1
+    )
+    pr = prior._replace(J=J_new, lin_nodes=jax.tree.map(drop, prior.lin_nodes))
+    return win, pr
+
+
+def insert_node(window: Window, prior: Prior, i: int,
+                n_active: int) -> tuple[Window, Prior]:
+    """Open a free slot at node index ``i`` (0 < i <= n_active < capacity),
+    shifting nodes i.. up by one — the window-tail rebuild of
+    ``insertNewGnssTimeNode`` (ic_gvins.cc:894-920: pop the tail, add the
+    GNSS node, re-add the tail) done as one shift.
+
+    The caller must then fill the slot: node state, gnss fields, and the
+    two preintegrations around it (slots ``i-1`` and ``i`` both span stale
+    intervals after the shift). Landmark anchors at/after ``i`` move up;
+    observation columns shift with their nodes. The freed duplicate slot
+    content is stale-but-finite (masked by the validity flags)."""
+    assert 0 < i <= n_active < window.n_nodes
+
+    def ins(x):
+        # duplicate entry i-1 into the new slot: finite placeholder values
+        # (quaternions stay normalized); the tail entry falls off
+        return jnp.concatenate([x[:i], x[i - 1 : i], x[i:-1]], 0)
+
+    nodes = jax.tree.map(ins, window.nodes)
+
+    def ins_pre(x):
+        return jnp.concatenate(
+            [x[: i - 1], x[i - 2 : i - 1] if i >= 2 else x[:1], x[i - 1 : -1]],
+            0,
+        )
+
+    preint = jax.tree.map(ins_pre, window.preint)
+    # both halves of the split interval need re-preintegration by the
+    # caller; mark the first half invalid until then
+    preint_valid = ins_pre(window.preint_valid).at[i - 1].set(False)
+    preint_valid = preint_valid.at[i].set(False)
+
+    obs_uv = jnp.concatenate(
+        [window.obs_uv[:, :i], jnp.zeros_like(window.obs_uv[:, :1]),
+         window.obs_uv[:, i:-1]], 1)
+    obs_vel = jnp.concatenate(
+        [window.obs_vel[:, :i], jnp.zeros_like(window.obs_vel[:, :1]),
+         window.obs_vel[:, i:-1]], 1)
+    obs_valid = jnp.concatenate(
+        [window.obs_valid[:, :i], jnp.zeros_like(window.obs_valid[:, :1]),
+         window.obs_valid[:, i:-1]], 1)
+
+    lm_ref = jnp.where(window.lm_ref >= i, window.lm_ref + 1, window.lm_ref)
+
+    win = window._replace(
+        nodes=nodes,
+        node_valid=ins(window.node_valid).at[i].set(True),
+        node_is_kf=ins(window.node_is_kf).at[i].set(False),
+        preint=preint, preint_valid=preint_valid,
+        gnss_p=ins(window.gnss_p), gnss_std=ins(window.gnss_std),
+        gnss_std_base=ins(window.gnss_std_base),
+        gnss_valid=ins(window.gnss_valid).at[i].set(False),
+        frame_td=ins(window.frame_td),
+        obs_uv=obs_uv, obs_vel=obs_vel, obs_valid=obs_valid,
+        lm_ref=lm_ref,
+    )
+
+    N = window.n_nodes
+    J = prior.J
+    node_part = J[:, : N * NODE_DOF].reshape(-1, N, NODE_DOF)
+    node_part = jnp.concatenate(
+        [node_part[:, :i], jnp.zeros_like(node_part[:, :1]),
+         node_part[:, i:-1]], 1)
+    J_new = jnp.concatenate(
+        [node_part.reshape(-1, N * NODE_DOF), J[:, N * NODE_DOF :]], axis=1
+    )
+    pr = prior._replace(J=J_new, lin_nodes=jax.tree.map(ins, prior.lin_nodes))
+    return win, pr
