@@ -84,24 +84,25 @@ def main():
 
     # --- fused frame round: per-sequence bidirectional KLT + batched
     # optimization, one jitted program (as a production pipeline step) ---
-    @jax.jit
-    def frame_round(pts, bw, bp):
-        def body(carry, _):
-            out, ok, _ = klt_pallas.lk_track_bidirectional_pallas(
-                pyr0, pyr1, carry, carry, valid
-            )
-            # keep the sequential dependency without poisoning the carry:
-            # 0.0 * NaN (a diverged track) would otherwise NaN the points
-            # and force worst-case iteration counts downstream
-            return carry + 0.0 * jnp.nan_to_num(out), None
+    # per-sequence feature sets (independent sequences -> batched tracking:
+    # one kernel launch over BATCH x N_FEATURES features, like the
+    # batched window optimization below)
+    bpts = jnp.stack([pts + 0.1 * b for b in range(BATCH)])
 
-        pts_out, _ = jax.lax.scan(body, pts, None, length=BATCH)
+    @jax.jit
+    def frame_round(bpts, bw, bp):
+        out, ok, _ = jax.vmap(
+            lambda p0: klt_pallas.lk_track_bidirectional_pallas(
+                pyr0, pyr1, p0, p0, valid
+            )
+        )(bpts)
+        pts_out = jnp.nan_to_num(out)
         win_out, stats = optimize_batch.__wrapped__(
             bw, bp, cfg, params, iters=ITERS
         )
         return pts_out, win_out, stats
 
-    t_round, (pts_out, out, (c0, c1, _)) = _time(frame_round, pts, bw, bp)
+    t_round, (pts_out, out, (c0, c1, _)) = _time(frame_round, bpts, bw, bp)
 
     # numerics guard: only a real, bounded solve counts
     c0v, c1v = np.asarray(c0), np.asarray(c1)

@@ -250,6 +250,40 @@ def eval_prior(window: Window, prior: Prior):
 # ---------------------------------------------------------------------------
 
 
+def _residuals_only(window: Window, cfg: SolverConfig,
+                    params: IntegrationParams):
+    """Primal residuals without the jacfwd tangent pass — the cost probe
+    runs once per LM iteration at the trial point, where Jacobians are
+    never needed (XLA does not reliably DCE an unused jacfwd)."""
+    dtype = window.nodes.p.dtype
+    N = window.n_nodes
+    L = window.n_landmarks
+
+    res_fn, dim = preint_res_fn(window)
+    z_pre = jnp.zeros(dim, dtype)
+    r_pre = jax.vmap(lambda i: res_fn(window, params, i, z_pre))(
+        jnp.arange(N - 1)
+    )
+    r_pre = r_pre * preint_mask(window).astype(dtype)[:, None]
+
+    z6 = jnp.zeros(6, dtype)
+    r_g = jax.vmap(lambda k: _gnss_res(window, cfg, k, z6))(jnp.arange(N))
+    r_g = r_g * gnss_mask(window).astype(dtype)[:, None]
+
+    z20 = jnp.zeros(20, dtype)
+    r_v = jax.vmap(
+        jax.vmap(lambda l, k: _reproj_res(window, cfg, l, k, z20),
+                 in_axes=(None, 0)),
+        in_axes=(0, None),
+    )(jnp.arange(L), jnp.arange(N))
+    r_v = r_v * obs_mask(window).astype(dtype)[..., None]
+
+    k_new = newest_node_index(window)
+    r_b = _bias_res(window, cfg, k_new, jnp.zeros(NODE_DOF, dtype))
+    r_b = r_b * jnp.any(window.node_valid).astype(dtype)
+    return r_pre, r_g, r_v, r_b
+
+
 def robust_cost(
     window: Window,
     prior: Prior,
@@ -258,10 +292,7 @@ def robust_cost(
     flags: RobustFlags,
 ):
     """Total robust cost 0.5 * sum(rho(chi2)) over all factors."""
-    r_pre, _ = eval_preint(window, params)
-    r_g, _ = eval_gnss(window, cfg)
-    r_v, _ = eval_reproj(window, cfg)
-    r_b, _, _ = eval_bias_prior(window, cfg)
+    r_pre, r_g, r_v, r_b = _residuals_only(window, cfg, params)
     r_p, _ = eval_prior(window, prior)
 
     chi_g = jnp.sum(r_g**2, axis=-1)
@@ -433,13 +464,44 @@ def free_mask(window: Window, cfg: SolverConfig) -> jax.Array:
     ).astype(dtype)
 
 
+def _ns_solve(A, b, iters: int = 26, refine: int = 3):
+    """Solve A y = b for a symmetric PD, Jacobi-normalized A via
+    Newton-Schulz inverse iteration plus iterative refinement.
+
+    TPU rationale: XLA lowers Cholesky + the two triangular solves to a
+    sequential blocked algorithm that dominates the LM iteration on these
+    ~190-dim reduced systems; Newton-Schulz is nothing but dense matmuls
+    (MXU), an order of magnitude faster here. X0 = I/max-row-sum gives
+    ||I - A X0||_2 < 1 for any SPD A (Gershgorin), so the iteration is
+    spectrally monotone; the refinement passes push the solution error to
+    the dtype noise floor even when the inverse iterate is still coarse.
+    """
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    rmax = jnp.max(jnp.sum(jnp.abs(A), axis=-1))
+    X = eye / rmax
+
+    def ns(X, _):
+        return X @ (2.0 * eye - A @ X), None
+
+    X, _ = jax.lax.scan(ns, X, None, length=iters)
+    y = X @ b
+
+    def ir(y, _):
+        return y + X @ (b - A @ y), None
+
+    y, _ = jax.lax.scan(ir, y, None, length=refine)
+    return y
+
+
 def schur_solve(H, g, dim_x: int, lam):
     """Solve (H + lam*diag(H)) dx = -g with Schur elimination of the
     trailing landmark block (diagonal: landmarks never couple directly).
 
     This is the TPU analog of Ceres DENSE_SCHUR (``ic_gvins.cc:1178``): the
-    landmark elimination is a vectorized divide, the reduced camera system a
-    dense Cholesky solve.
+    landmark elimination is a vectorized divide; the reduced camera system
+    solve is a dense Cholesky in f64 (validation path) and a Newton-Schulz
+    matmul solve in f32 (the TPU execution path — see ``_ns_solve``).
     """
     d = jnp.diag(H)
     Hd = H + jnp.diag(lam * d)
@@ -453,15 +515,19 @@ def schur_solve(H, g, dim_x: int, lam):
     H_red = Hxx - Hxl_w @ Hxl.T
     g_red = gx - Hxl_w @ gl
 
-    # Jacobi-scale the reduced system to unit diagonal before Cholesky:
+    # Jacobi-scale the reduced system to unit diagonal before solving:
     # whitened information spans ~1e2 (GNSS) to ~1e10 (preint bias links),
     # and the scaled solve keeps full precision in f32 on TPU (the raw
     # condition number exceeds f32's 7 digits). Exact in f64 too.
     eps = jnp.asarray(1e-12 if H.dtype == jnp.float64 else 1e-6, H.dtype)
     s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(H_red), eps))
     H_n = H_red * s[:, None] * s[None, :]
-    L = jnp.linalg.cholesky(H_n + eps * jnp.eye(H_n.shape[0], dtype=H.dtype))
-    y = jax.scipy.linalg.cho_solve((L, True), s * g_red)
+    H_n = H_n + eps * jnp.eye(H_n.shape[0], dtype=H.dtype)
+    if H.dtype == jnp.float64:
+        L = jnp.linalg.cholesky(H_n)
+        y = jax.scipy.linalg.cho_solve((L, True), s * g_red)
+    else:
+        y = _ns_solve(H_n, s * g_red)
     dx_x = -(s * y)
     dx_l = -(gl + Hxl.T @ dx_x) / hll
     return jnp.concatenate([dx_x, dx_l])
