@@ -316,48 +316,66 @@ def assemble(
     params: IntegrationParams,
     flags: RobustFlags,
 ):
-    """Build H [D,D], g [D] (H dx = -g) and the robust cost at the estimate."""
+    """Build H [D,D], g [D] (H dx = -g) and the robust cost at the estimate.
+
+    Fully scatter-free: XLA lowers scatter-adds into a dense matrix to
+    serialized per-index updates on TPU, so every factor's contribution is
+    accumulated into dense block tensors (node-node [N,15,N,15], node-ext
+    [N,15,8], ext-ext [8,8], landmark cross/diag) via einsum reductions —
+    dynamic node indices become one-hot contractions (MXU-friendly) — and
+    the final H is one block composition (three concatenates).
+    """
     N, L = window.n_nodes, window.n_landmarks
     DX = window.dim_x
-    D = window.dim_total
     dtype = window.nodes.p.dtype
+    NL = N * NODE_DOF
+    ED = EXT_DOF  # 6 ext + td + sodo
 
-    H = jnp.zeros((D, D), dtype)
-    g = jnp.zeros(D, dtype)
+    Hnn = jnp.zeros((N, NODE_DOF, N, NODE_DOF), dtype)
+    Hne = jnp.zeros((N, NODE_DOF, ED), dtype)
+    Hee = jnp.zeros((ED, ED), dtype)
+    g_n = jnp.zeros((N, NODE_DOF), dtype)
+    g_e = jnp.zeros(ED, dtype)
 
-    node_cols = (jnp.arange(N)[:, None] * NODE_DOF + jnp.arange(NODE_DOF)[None, :])
-    ext_cols = N * NODE_DOF + jnp.arange(6)
-    td_col = N * NODE_DOF + 6
-    sodo_col = N * NODE_DOF + 7
-    EXTTD = N * NODE_DOF + EXTTD_DOF  # end of the [ext|td] block
-
-    # --- preintegration factors ---
+    # --- preintegration factors (block-tridiagonal via one-hot einsums) ---
     r_pre, J_pre = eval_preint(window, params)
-    cols_pre = preint_delta_cols(window)  # [N-1, 30|31]
-    H = H.at[cols_pre[:, :, None], cols_pre[:, None, :]].add(
-        jnp.einsum("frc,frd->fcd", J_pre, J_pre)
-    )
-    g = g.at[cols_pre].add(jnp.einsum("frc,fr->fc", J_pre, r_pre))
+    Ji = J_pre[..., :NODE_DOF]  # w.r.t. node i
+    Jj = J_pre[..., NODE_DOF : 2 * NODE_DOF]  # w.r.t. node i+1
+    Pi = jnp.eye(N, dtype=dtype)[: N - 1]  # one-hot of i
+    Pj = jnp.eye(N, dtype=dtype)[1:]  # one-hot of i+1
+    Aii = jnp.einsum("frc,frd->fcd", Ji, Ji)
+    Ajj = jnp.einsum("frc,frd->fcd", Jj, Jj)
+    Aij = jnp.einsum("frc,frd->fcd", Ji, Jj)
+    Hnn = Hnn + jnp.einsum("fa,fb,fcd->acbd", Pi, Pi, Aii)
+    Hnn = Hnn + jnp.einsum("fa,fb,fcd->acbd", Pj, Pj, Ajj)
+    Hnn = Hnn + jnp.einsum("fa,fb,fcd->acbd", Pi, Pj, Aij)
+    Hnn = Hnn + jnp.einsum("fa,fb,fdc->acbd", Pj, Pi, Aij)
+    g_n = g_n + jnp.einsum("fa,frc,fr->ac", Pi, Ji, r_pre)
+    g_n = g_n + jnp.einsum("fa,frc,fr->ac", Pj, Jj, r_pre)
+    if is_odo_window(window):
+        Js = J_pre[..., 2 * NODE_DOF]  # w.r.t. the global sodo scale
+        sodo_onehot = jnp.zeros(ED, dtype).at[7].set(1.0)
+        His = jnp.einsum("fa,frc,fr->ac", Pi, Ji, Js) + jnp.einsum(
+            "fa,frc,fr->ac", Pj, Jj, Js
+        )
+        Hne = Hne + His[:, :, None] * sodo_onehot
+        Hee = Hee.at[7, 7].add(jnp.einsum("fr,fr->", Js, Js))
+        g_e = g_e.at[7].add(jnp.einsum("fr,fr->", Js, r_pre))
     cost = 0.5 * jnp.sum(r_pre**2)
 
-    # --- GNSS factors (Huber-weighted IRLS) ---
+    # --- GNSS factors (Huber-weighted IRLS), diagonal pose blocks ---
     r_g, J_g = eval_gnss(window, cfg)
     chi_g = jnp.sum(r_g**2, axis=-1)
     w_g = jnp.where(flags.gnss_kernel, huber_weight(chi_g), jnp.ones_like(chi_g))
-    cols_g = node_cols[:, :6]
-    H = H.at[cols_g[:, :, None], cols_g[:, None, :]].add(
-        w_g[:, None, None] * jnp.einsum("frc,frd->fcd", J_g, J_g)
-    )
-    g = g.at[cols_g].add(w_g[:, None] * jnp.einsum("frc,fr->fc", J_g, r_g))
+    A_g = w_g[:, None, None] * jnp.einsum("frc,frd->fcd", J_g, J_g)  # [N,6,6]
+    E = jnp.eye(N, dtype=dtype)
+    Hpp = jnp.einsum("ka,kb,kcd->acbd", E, E, A_g)  # block-diagonal embed
+    g_p6 = w_g[:, None] * jnp.einsum("frc,fr->fc", J_g, r_g)  # [N,6]
     cost = cost + 0.5 * jnp.sum(
         jnp.where(flags.gnss_kernel, huber_rho(chi_g), chi_g)
     )
 
-    # --- reprojection factors (scatter-free assembly) ---
-    # XLA lowers large scatter-adds to serialized updates on TPU; instead
-    # every H contribution is expressed as a reduction/einsum: the obs-node
-    # axis is already an array axis, and the ref-node mapping becomes a
-    # one-hot matmul (MXU-friendly).
+    # --- reprojection factors ---
     r_v, J_v = eval_reproj(window, cfg)  # [L,N,2], [L,N,2,20]
     chi_v = jnp.sum(r_v**2, axis=-1)
     w_v = jnp.where(flags.reproj_kernel, huber_weight(chi_v), jnp.ones_like(chi_v))
@@ -369,77 +387,71 @@ def assemble(
     wJo = w_v[..., None, None] * Jo
     wJe = w_v[..., None, None] * Je
     wJl = w_v[..., None] * Jl
-    O = (window.lm_ref[:, None] == jnp.arange(N)[None, :]).astype(H.dtype)  # [L,N]
+    O = (window.lm_ref[:, None] == jnp.arange(N)[None, :]).astype(dtype)  # [L,N]
 
-    # node-node blocks laid out as [N,15,N,15], pose part only (cols 0:6)
-    Hnn = jnp.zeros((N, NODE_DOF, N, NODE_DOF), H.dtype)
-    idxN = jnp.arange(N)
     H_oo = jnp.einsum("lkrc,lkrd->kcd", wJo, Jo)
     H_rr = jnp.einsum("la,lkrc,lkrd->acd", O, wJr, Jr)
     H_ro = jnp.einsum("la,lkrc,lkrd->akcd", O, wJr, Jo)
     # block (ref a, obs k) lives at [a, c, k, d]; its transpose at [k, d, a, c]
-    Hnn = Hnn.at[:, 0:6, :, 0:6].add(
-        H_ro.transpose(0, 2, 1, 3) + H_ro.transpose(1, 3, 0, 2)
-    )
-    Hnn = Hnn.at[idxN, 0:6, idxN, 0:6].add(H_oo + H_rr)
-    H = H.at[: N * NODE_DOF, : N * NODE_DOF].add(
-        Hnn.reshape(N * NODE_DOF, N * NODE_DOF)
-    )
+    Hpp = Hpp + H_ro.transpose(0, 2, 1, 3) + H_ro.transpose(1, 3, 0, 2)
+    Hpp = Hpp + jnp.einsum("ka,kb,kcd->acbd", E, E, H_oo + H_rr)
+    Hnn = Hnn.at[:, 0:6, :, 0:6].add(Hpp)
 
-    # node-ext blocks [N,6,7]
     H_oe = jnp.einsum("lkrc,lkrd->kcd", wJo, Je)
     H_re = jnp.einsum("la,lkrc,lkrd->acd", O, wJr, Je)
-    Hne = jnp.zeros((N, NODE_DOF, 7), H.dtype).at[:, 0:6, :].add(H_oe + H_re)
-    H = H.at[: N * NODE_DOF, N * NODE_DOF : EXTTD].add(Hne.reshape(N * NODE_DOF, 7))
-    H = H.at[N * NODE_DOF : EXTTD, : N * NODE_DOF].add(Hne.reshape(N * NODE_DOF, 7).T)
+    Hne = Hne.at[:, 0:6, :7].add(H_oe + H_re)
+    Hee = Hee.at[:7, :7].add(jnp.einsum("lkrc,lkrd->cd", wJe, Je))
 
-    # ext-ext block [7,7]
-    H_ee = jnp.einsum("lkrc,lkrd->cd", wJe, Je)
-    H = H.at[N * NODE_DOF : EXTTD, N * NODE_DOF : EXTTD].add(H_ee)
-
-    # landmark diagonal + cross blocks
-    hll = jnp.einsum("lkr,lkr->l", wJl, Jl)
-    H = H.at[DX + jnp.arange(L), DX + jnp.arange(L)].add(hll)
+    hll = jnp.einsum("lkr,lkr->l", wJl, Jl)  # landmark diagonal
     H_lo = jnp.einsum("lkr,lkrc->lkc", wJl, Jo)  # [L,N,6]
     H_lr = jnp.einsum("la,lkr,lkrc->lac", O, wJl, Jr)  # [L,N,6]
-    Hln = jnp.zeros((L, N, NODE_DOF), H.dtype).at[:, :, 0:6].add(H_lo + H_lr)
-    H = H.at[DX:, : N * NODE_DOF].add(Hln.reshape(L, N * NODE_DOF))
-    H = H.at[: N * NODE_DOF, DX:].add(Hln.reshape(L, N * NODE_DOF).T)
-    H_le = jnp.einsum("lkr,lkrc->lc", wJl, Je)  # [L,7]
-    H = H.at[DX:, N * NODE_DOF : EXTTD].add(H_le)
-    H = H.at[N * NODE_DOF : EXTTD, DX:].add(H_le.T)
+    Hln = jnp.zeros((L, N, NODE_DOF), dtype).at[:, :, 0:6].set(H_lo + H_lr)
+    Hle = jnp.zeros((L, ED), dtype).at[:, :7].set(
+        jnp.einsum("lkr,lkrc->lc", wJl, Je)
+    )
 
-    # gradient
     g_o = jnp.einsum("lkrc,lkr->kc", wJo, r_v)
     g_r = jnp.einsum("la,lkrc,lkr->ac", O, wJr, r_v)
-    gn = jnp.zeros((N, NODE_DOF), H.dtype).at[:, 0:6].add(g_o + g_r)
-    g = g.at[: N * NODE_DOF].add(gn.reshape(-1))
-    g = g.at[N * NODE_DOF : EXTTD].add(jnp.einsum("lkrc,lkr->c", wJe, r_v))
-    g = g.at[DX:].add(jnp.einsum("lkr,lkr->l", wJl, r_v))
+    g_n = g_n.at[:, 0:6].add(g_o + g_r + g_p6)
+    g_e = g_e.at[:7].add(jnp.einsum("lkrc,lkr->c", wJe, r_v))
+    g_l = jnp.einsum("lkr,lkr->l", wJl, r_v)
 
     cost = cost + 0.5 * jnp.sum(
         jnp.where(flags.reproj_kernel, huber_rho(chi_v), chi_v)
     )
 
-    # --- soft bias prior on the newest node ---
+    # --- soft bias prior on the newest node (one-hot embed) ---
     r_b, J_b, k_new = eval_bias_prior(window, cfg)
-    cols_b = node_cols[k_new]
-    H = H.at[cols_b[:, None], cols_b[None, :]].add(J_b.T @ J_b)
-    g = g.at[cols_b].add(J_b.T @ r_b)
+    oh = (jnp.arange(N) == k_new).astype(dtype)
+    Hnn = Hnn + jnp.einsum("a,b,cd->acbd", oh, oh, J_b.T @ J_b)
+    g_n = g_n + oh[:, None] * (J_b.T @ r_b)
     cost = cost + 0.5 * jnp.sum(r_b**2)
 
     # --- soft odometer-scale prior (sigma_sodo = 0.02, imu_error_factor.h) ---
     if is_odo_window(window):
         w_s = 1.0 / cfg.sodo_prior_std**2
-        H = H.at[sodo_col, sodo_col].add(w_s)
-        g = g.at[sodo_col].add(w_s * window.sodo)
+        Hee = Hee.at[7, 7].add(w_s)
+        g_e = g_e.at[7].add(w_s * window.sodo)
         cost = cost + 0.5 * w_s * window.sodo**2
 
-    # --- marginalization / initialization prior ---
+    # --- marginalization / initialization prior (spans nodes + ext) ---
     r_p, J_p = eval_prior(window, prior)
-    H = H.at[:DX, :DX].add(J_p.T @ J_p)
-    g = g.at[:DX].add(J_p.T @ r_p)
+    P = J_p.T @ J_p
+    Hnn = Hnn + P[:NL, :NL].reshape(N, NODE_DOF, N, NODE_DOF)
+    Hne = Hne + P[:NL, NL:DX].reshape(N, NODE_DOF, ED)
+    Hee = Hee + P[NL:DX, NL:DX]
+    g_pri = J_p.T @ r_p
+    g_n = g_n + g_pri[:NL].reshape(N, NODE_DOF)
+    g_e = g_e + g_pri[NL:DX]
     cost = cost + 0.5 * jnp.sum(r_p**2)
+
+    # --- compose H from the block accumulators (no scatters) ---
+    Hnl = Hln.reshape(L, NL).T
+    top = jnp.concatenate([Hnn.reshape(NL, NL), Hne.reshape(NL, ED), Hnl], 1)
+    mid = jnp.concatenate([Hne.reshape(NL, ED).T, Hee, Hle.T], 1)
+    bot = jnp.concatenate([Hln.reshape(L, NL), Hle, jnp.diag(hll)], 1)
+    H = jnp.concatenate([top, mid, bot], 0)
+    g = jnp.concatenate([g_n.reshape(-1), g_e, g_l])
 
     # --- gauge fixing of unused / frozen parameters ---
     free = free_mask(window, cfg)
