@@ -1103,6 +1103,10 @@ class Estimator:
             odo=(self.odo_t, self.odo_v),
             origin=self.origin,
             traj=(self.traj_times, self.traj_p, self.traj_q),
+            ext_accepted=(
+                [np.asarray(x) for x in self._ext_accepted]
+                if self._ext_accepted is not None else None
+            ),
         )
         with open(path, "wb") as f:
             pickle.dump(state, f)
@@ -1138,6 +1142,10 @@ class Estimator:
         self.odo_t, self.odo_v = state.get("odo", ([], []))
         self.origin = state.get("origin", np.zeros(3, np.float64))
         self.traj_times, self.traj_p, self.traj_q = state["traj"]
+        ea = state.get("ext_accepted")
+        self._ext_accepted = (
+            (jnp.asarray(ea[0]), jnp.asarray(ea[1])) if ea is not None else None
+        )
 
     # ------------------------------------------------------------------
     # queries
