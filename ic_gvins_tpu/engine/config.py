@@ -60,6 +60,7 @@ class EngineConfig:
     track_min_parallax: float = 20.0  # px
     track_max_interval: float = 0.5  # s
     track_max_features: int = 200
+    track_check_histogram: bool = False  # illumination-glitch frame gate
     reprojection_error_std: float = 1.5  # px
     optimize_windows_size: int = 10  # keyframes
     optimize_num_iterations: int = 20
@@ -84,17 +85,24 @@ class EngineConfig:
     default_depth: float = 10.0  # m
 
     # --- fixed-capacity knobs of the TPU build (static shapes) ---
+    use_native_imu_buffer: bool = True  # C++ ring buffer (native/imu_buffer.cpp)
     max_nodes: int = 24  # window node slots (keyframes + GNSS nodes)
     max_landmarks: int = 192
     max_imu_per_interval: int = 512  # IMU samples per preintegration slice
     # Marginalization prior mode:
-    #   "full"   — reference-parity Schur marginalization (information
-    #              accumulates; can compound linearization bias on long runs)
+    #   "full"   — reference-parity Schur marginalization (default; the
+    #              round-1 "divergence" was a masking bug in the Schur
+    #              correction term, fixed in factors/marginalization.py —
+    #              soak-validated: 300 s with a 60 s GNSS outage holds
+    #              0.06 m RMSE where "anchor" peaks at 4 m)
     #   "anchor" — bounded continuity anchor on the new oldest node at its
-    #              current estimate (gauge fixation + continuity, cannot
-    #              compound; default)
+    #              current estimate (gauge fixation + continuity only)
     #   "none"   — no prior after sliding (GNSS-only anchoring)
-    marg_prior_mode: str = "anchor"
+    marg_prior_mode: str = "full"
+    # GNSS chi2 reweight: False = non-compounding capped inflation from the
+    # base std (this build's default); True = reference-parity in-place
+    # compounding (ic_gvins.cc:1275-1301). A/B: tests/test_chi2_ab.py.
+    chi2_compound: bool = False
     prior_forgetting: float = 1.0  # info discount/slide in "full" mode
     # "anchor" mode stds: [pos(3), att(3)] and [vel(3), bg(3), ba(3)]
     anchor_pose_std: tuple = (0.05, 0.05, 0.05, 0.3 * D2R, 0.3 * D2R, 1.0 * D2R)
@@ -118,7 +126,7 @@ class EngineConfig:
     # keys handled by the replay runner, not the engine (fusion_ros.cc)
     _RUNNER_KEYS = (
         "outputpath", "is_make_outputdir", "is_use_visualization",
-        "isusegnssoutage", "gnssoutagetime", "track_check_histogram",
+        "isusegnssoutage", "gnssoutagetime",
     )
 
     @classmethod
@@ -138,6 +146,7 @@ class EngineConfig:
         for key in (
             "initlength", "imudatarate", "iswithearth", "gnssthreshold",
             "track_min_parallax", "track_max_interval", "track_max_features",
+            "track_check_histogram",
             "reprojection_error_std", "optimize_windows_size",
             "optimize_num_iterations", "optimize_estimate_extrinsic",
             "optimize_estimate_td",

@@ -26,11 +26,16 @@ COLOR_DEPTH_INITIALIZED = (255, 255, 0)
 COLOR_REF = (0, 0, 255)
 COLOR_TRAIL = (255, 0, 0)
 
-# MapPointType (mappoint.h:38-44)
+# MapPointType (mappoint.h:38-44). The reference only ever *creates*
+# TRIANGULATED points (tracking.cc:767); DEPTH_ASSOCIATED is declared but
+# unassigned there. This engine tracks the lifecycle: DEPTH_INITIALIZED
+# (allocated at default depth) -> TRIANGULATED (two-view depth accepted)
+# -> FIXED (left the window at marginalization, ic_gvins.cc:1695-1705).
 MAPPOINT_NONE = 0
 MAPPOINT_TRIANGULATED = 1
 MAPPOINT_DEPTH_ASSOCIATED = 2
 MAPPOINT_DEPTH_INITIALIZED = 3
+MAPPOINT_FIXED = 4
 
 _TYPE_COLORS = {
     MAPPOINT_TRIANGULATED: COLOR_TRIANGULATED,

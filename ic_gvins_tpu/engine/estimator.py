@@ -44,10 +44,31 @@ from ..solver.window import (
 )
 from .config import D2R, EngineConfig
 
+# Stable jitted entry points for the per-round device work. The bare
+# functions build their scan bodies inline, so calling them eagerly
+# re-traces AND re-compiles on every call (the XLA:CPU JIT arena then grows
+# until the compiler dies on long runs — observed as "LLVM compilation
+# error: Cannot allocate memory" after ~10 min of soak); a module-level
+# jax.jit wrapper gives them a stable cache key.
+_preintegrate_jit = jax.jit(pre.preintegrate)
+_preintegrate_odo_jit = None  # lazily jitted (odometer configs only)
+_mechanize_jit = jax.jit(mech.mechanize_scan)
+
+
+def _bucket(n: int, step: int = 256) -> int:
+    """Round a dynamic length up to a bucket so jitted programs are reused
+    (bounded number of compiled shapes)."""
+    return step * max(1, -(-n // step))
+
+
 # engine states (parity with GVINSState, ic_gvins.h:47-55)
+ERROR = -1
 INITIALIZING = 0
-INITIALIZING_INS = 1
-TRACKING_NORMAL = 4
+INITIALIZING_INS = 1  # GNSS/INS rounds only (gvinsInitializationOptimization)
+INITIALIZING_VIO = 2  # first keyframe node added WITHOUT optimization
+TRACKING_INITIALIZING = 3  # full rounds; ext/td still frozen
+TRACKING_NORMAL = 4  # window full; ext/td estimation enabled
+TRACKING_LOST = 5
 
 
 @dataclass
@@ -95,15 +116,19 @@ class _ImuBuffer:
                 out_dt.append(self.dt[k])
                 out_th.append(self.dtheta[k])
                 out_dv.append(self.dvel[k])
-        # partial last interval
-        if i1 + 1 < len(times) and times[i1 + 1] > t1 + min_dt and (i1 < 0 or times[i1] < t1 - min_dt):
-            k = i1 + 1
-            frac = (t1 - (times[k] - self.dt[k])) / self.dt[k]
-            if frac > 1e-9:
-                out_t.append(t1)
-                out_dt.append(t1 - (times[k] - self.dt[k]))
-                out_th.append(self.dtheta[k] * frac)
-                out_dv.append(self.dvel[k] * frac)
+        # partial last interval: the increment crossing t1 (the first
+        # sample strictly beyond t1, scaled to the in-interval fraction —
+        # misc.cc:360-381 semantics, matching native/imu_buffer.cpp)
+        k = int(np.searchsorted(times, t1 + min_dt))
+        if k < len(times) and times[k] > t1 + min_dt:
+            t_start = times[k] - self.dt[k]
+            if t0 - min_dt <= t_start < t1 - min_dt:
+                frac = (t1 - t_start) / self.dt[k]
+                if frac > 1e-9:
+                    out_t.append(t1)
+                    out_dt.append(t1 - t_start)
+                    out_th.append(self.dtheta[k] * frac)
+                    out_dv.append(self.dvel[k] * frac)
         out_t[-1] = t1  # stamp the end exactly (misc.cc:381)
         n = len(out_t)
         if n > n_pad:
@@ -115,6 +140,64 @@ class _ImuBuffer:
             dtheta=jnp.asarray(np.stack(out_th + [np.zeros(3)] * pad)),
             dvel=jnp.asarray(np.stack(out_dv + [np.zeros(3)] * pad)),
         )
+
+    def arrays(self):
+        """(time [n], dt [n], dtheta [n,3], dvel [n,3]) numpy views."""
+        if not self.time:
+            z = np.zeros(0)
+            return z, z, np.zeros((0, 3)), np.zeros((0, 3))
+        return (np.asarray(self.time), np.asarray(self.dt),
+                np.stack(self.dtheta), np.stack(self.dvel))
+
+
+class _NativeImuBuffer:
+    """Native-backed IMU store (ctypes over ``native/imu_buffer.cpp``):
+    increments live in the C++ ring buffer — append, gap handling, ordered
+    slice extraction with boundary interpolation all run native — while a
+    plain float list mirrors the stamps for the host coverage checks.
+    Same interface as :class:`_ImuBuffer`."""
+
+    def __init__(self, nominal_dt: float):
+        from ..native import NativeImuBuffer
+
+        self._nat = NativeImuBuffer(nominal_dt)
+        self._nominal = float(nominal_dt)
+        self.time: list[float] = []
+
+    def append(self, t, dt, dth, dv):
+        added = int(self._nat.append(t, dt, dth, dv))
+        if added > 1 and self.time:
+            last = self.time[-1]
+            for k in range(added - 1):
+                self.time.append(last + (k + 1) * self._nominal)
+        self.time.append(float(t))
+
+    def drop_before(self, t):
+        self._nat.drop_before(t)
+        n_keep = len(self._nat)
+        if n_keep < len(self.time):
+            del self.time[: len(self.time) - n_keep]
+
+    def arrays(self):
+        return self._nat.export_arrays()
+
+    def slice_between(self, t0, t1, n_pad, min_dt=1e-4):
+        time, dt, dth, dv = self._nat.slice_between(t0, t1, n_pad, min_dt)
+        return ImuSeq(
+            time=jnp.asarray(time), dt=jnp.asarray(dt),
+            dtheta=jnp.asarray(dth), dvel=jnp.asarray(dv),
+        )
+
+
+def _make_imu_buffer(cfg: EngineConfig):
+    """Prefer the native C++ buffer (parity-tested in test_native.py);
+    fall back to pure Python when the toolchain/library is absent."""
+    if cfg.use_native_imu_buffer:
+        try:
+            return _NativeImuBuffer(1.0 / cfg.imudatarate)
+        except Exception:
+            pass
+    return _ImuBuffer()
 
 
 class Estimator:
@@ -143,6 +226,7 @@ class Estimator:
             estimate_td=jnp.asarray(cfg.optimize_estimate_td),
             estimate_sodo=jnp.asarray(cfg.odo.estimate_sodo),
             sodo_prior_std=jnp.asarray(cfg.odo.sodo_prior_std),
+            chi2_compound=jnp.asarray(cfg.chi2_compound),
         )
         self.use_odo = bool(cfg.odo.use_odo)
         if self.use_odo:
@@ -161,8 +245,24 @@ class Estimator:
         self.odo_v: list[float] = []
 
         self.state = INITIALIZING
-        self.imu = _ImuBuffer()
+        self.imu = _make_imu_buffer(cfg)
         self.gnss_queue: list[tuple[float, np.ndarray, np.ndarray]] = []
+        # events (GNSS fixes / tracked frames) that arrived ahead of IMU
+        # coverage wait here and are replayed by add_imu — the reference
+        # spins until the INS window covers the stamp (ic_gvins.cc:541-547)
+        # and its ROS callbacks retry on contention (fusion_ros.cc:159-169);
+        # a deterministic pipeline defers instead of dropping.
+        self.pending_events: list[tuple] = []  # (t, kind, payload...)
+        # ingest-hardening diagnostics
+        self.imu_repaired = 0  # IMU samples synthesized into rate gaps
+        self.dropped_gnss = 0  # fixes lost despite the capacity slide
+        # geodetic anchor of the local frame (lat rad, lon rad, h m); when
+        # set, Earth rate + gravity derive from position (ic_gvins.cc:709-712,
+        # preintegration_earth.cc:305-324) instead of config latitude
+        self.origin_blh: np.ndarray | None = None
+        # optional device mesh: optimization rounds run landmark-sharded
+        # (parallel/lm_sharded.py) — same algorithm, psum over the mesh
+        self.mesh = None
 
         self.window = empty_window(cfg.max_nodes, cfg.max_landmarks,
                                    odo=self.use_odo)
@@ -188,6 +288,10 @@ class Estimator:
         # landmark slot bookkeeping: external id -> slot
         self.lm_slot: dict[int, int] = {}
         self.free_slots = list(range(cfg.max_landmarks - 1, -1, -1))
+        # per-slot MapPointType lifecycle (mappoint.h:38-44):
+        # DEPTH_INITIALIZED at allocation -> TRIANGULATED once a two-view
+        # depth is accepted; FIXED is recorded with fixed_mappoints
+        self.lm_type = np.zeros(cfg.max_landmarks, np.int8)  # MAPPOINT_NONE
         self.stats: list[dict] = []
         self.track_log: list[dict] = []  # per-keyframe tracking diagnostics
         self._ext_accepted = None  # last sanity-accepted extrinsic (p, q)
@@ -212,7 +316,49 @@ class Estimator:
     # ------------------------------------------------------------------
 
     def add_imu(self, t, dt, dtheta, dvel):
-        self.imu.append(t, dt, dtheta, dvel)
+        nominal = 1.0 / self.cfg.imudatarate
+        if self.imu.time and dt > 1.5 * nominal:
+            # Sensor dropout: restore the nominal rate by splitting the
+            # long increment into nominal-dt slices (gap repair of
+            # ``GVINS::addNewImu``, ic_gvins.cc:191-203). Deviation: the
+            # reference repeats the raw increment unscaled, over-counting
+            # the gap's rotation/velocity by ~n_fill x; splitting keeps the
+            # integrals exact while restoring the rate the preintegration
+            # noise model assumes.
+            from ..common.logging import LOGE
+
+            LOGE(f"Lost IMU data at {t:.3f} dt {dt:.3f}; repairing")
+            n_fill = int(round(dt / nominal)) - 1
+            frac = nominal / dt
+            tj = t - dt
+            dtheta = np.asarray(dtheta, np.float64)
+            dvel = np.asarray(dvel, np.float64)
+            for _ in range(n_fill):
+                tj += nominal
+                self.imu.append(tj, nominal, dtheta * frac, dvel * frac)
+                self.imu_repaired += 1
+            dt_last = t - tj
+            self.imu.append(t, dt_last, dtheta * (dt_last / dt),
+                            dvel * (dt_last / dt))
+        else:
+            self.imu.append(t, dt, dtheta, dvel)
+        self._drain_pending()
+
+    def _drain_pending(self):
+        """Replay deferred events now covered by IMU data (in time order)."""
+        if not self.imu.time:
+            return
+        t_cov = self.imu.time[-1]
+        while self.pending_events and self.pending_events[0][0] <= t_cov:
+            ev = self.pending_events.pop(0)
+            if ev[1] == "gnss":
+                _, _, p, std = ev
+                self._dispatch_gnss(ev[0], p, std)
+            else:
+                _, _, ids, uv, vel, force_kf = ev
+                self._dispatch_frame(ev[0], ids, uv, vel, force_kf)
+        if self.state == INITIALIZING and len(self.gnss_queue) >= 2:
+            self._try_initialize()
 
     def add_odo(self, t, vel):
         """Wheel-odometer forward velocity sample (m/s). Interpolated onto
@@ -230,12 +376,56 @@ class Estimator:
         v = np.interp(t, np.asarray(self.odo_t), np.asarray(self.odo_v))
         return jnp.asarray(v * dt)
 
+    def set_mesh(self, mesh):
+        """Run optimization rounds landmark-sharded over this device mesh
+        (``parallel/lm_sharded.optimize_sharded`` — the same two-phase LM,
+        reductions via psum). ``None`` restores the single-program path."""
+        if mesh is not None and self.cfg.max_landmarks % mesh.shape["lm"] != 0:
+            raise ValueError("max_landmarks must divide the mesh size")
+        self.mesh = mesh
+
+    def set_origin_blh(self, blh):
+        """Geodetic anchor (lat rad, lon rad, h m) of the local frame —
+        enables position-derived Earth rate and Somigliana gravity
+        (the reference initializes both from the GNSS fix,
+        ic_gvins.cc:709-712, and re-derives iewn from position at every
+        preintegration reset, preintegration_earth.cc:305-324)."""
+        self.origin_blh = np.asarray(blh, np.float64)
+
+    def _refresh_earth_params(self, p_local: np.ndarray):
+        """Re-derive iewn (and gravity) at the given local position."""
+        if not self.cfg.iswithearth or self.origin_blh is None:
+            return
+        from ..common import earth
+
+        blh = np.asarray(earth.local_to_global(
+            jnp.asarray(self.origin_blh),
+            jnp.asarray(np.asarray(p_local, np.float64) + self.origin),
+        ))
+        self.params = self.params._replace(
+            iewn=earth.iewn(jnp.asarray(blh[0])),
+            gravity=jnp.array([0.0, 0.0, float(earth.gravity(jnp.asarray(blh)))]),
+        )
+
     def add_gnss(self, t, p_local, std):
         """GNSS fix already in the local frame (ingest conversion is the
         data layer's job, parity ``ic_gvins.cc:221-243``)."""
+        t = float(t)
         std = np.asarray(std, np.float64)
         if np.any(std <= 0) or np.any(std > self.cfg.gnssthreshold):
             return  # quality gate (fusion_ros.cc:195-211)
+        p_local = np.asarray(p_local, np.float64)
+        if self.state != INITIALIZING and self.imu.time and self.imu.time[-1] < t:
+            # ahead of IMU coverage: defer (p stored origin-free so a
+            # re-center between enqueue and dispatch cannot skew it)
+            import bisect
+
+            bisect.insort(self.pending_events, (t, "gnss", p_local, std),
+                          key=lambda e: e[0])
+            return
+        self._dispatch_gnss(t, p_local, std)
+
+    def _dispatch_gnss(self, t, p_local, std):
         p_local = np.asarray(p_local, np.float64) - self.origin
         self.gnss_queue.append((float(t), p_local, std))
         if self.state == INITIALIZING:
@@ -256,29 +446,33 @@ class Estimator:
             return
 
         cfg = self.cfg
-        # earth rate from configured latitude (no geodetic origin in the
-        # local-frame API; the data layer owns the global<->local mapping)
-        if cfg.iswithearth:
+        # Earth rate + gravity at the initialization fix: derived from the
+        # geodetic origin when the data layer provided one
+        # (``set_origin_blh``, parity ic_gvins.cc:709-712); otherwise from
+        # the configured fallback latitude.
+        if cfg.iswithearth and self.origin_blh is not None:
+            self._refresh_earth_params(p1)
+        elif cfg.iswithearth:
             lat = cfg.track_ref_lat_deg * D2R
             wie = 7.2921151467e-5
             iewn = jnp.array([wie * math.cos(lat), 0.0, -wie * math.sin(lat)])
+            self.params = self.params._replace(iewn=iewn)
         else:
-            iewn = jnp.zeros(3)
-        self.params = self.params._replace(iewn=iewn)
+            self.params = self.params._replace(iewn=jnp.zeros(3))
 
         # IMU stats between the two fixes
-        times = np.asarray(self.imu.time)
+        times, all_dt, all_dth, all_dv = self.imu.arrays()
         sel = (times > t0) & (times <= t1)
-        dth = np.stack([d for d, m in zip(self.imu.dtheta, sel) if m])
-        dv = np.stack([d for d, m in zip(self.imu.dvel, sel) if m])
-        dts = np.asarray(self.imu.dt)[sel]
+        dth = all_dth[sel]
+        dv = all_dv[sel]
+        dts = all_dt[sel]
         rate = cfg.imudatarate
         is_zv, mean = mech.detect_zero_velocity(
             jnp.asarray(dth), jnp.asarray(dv), rate,
             cfg.zupt_gyr_threshold, cfg.zupt_acc_threshold,
         )
         mean = np.asarray(mean)
-        g = cfg.gravity
+        g = float(self.params.gravity[2])
 
         vel_gnss = (p1 - p0) / (t1 - t0)
         # ZUPT must agree with GNSS: smooth constant-rate motion can fool a
@@ -382,9 +576,9 @@ class Estimator:
         s = self.last_node_state
         if t <= float(s.time) + self.cfg.min_time_interval:
             return s
-        n_needed = int((t - float(s.time)) * self.cfg.imudatarate) + 8
+        n_needed = _bucket(int((t - float(s.time)) * self.cfg.imudatarate) + 8)
         imu = self.imu.slice_between(float(s.time), t, n_needed)
-        states = mech.mechanize_scan(self.params, s, imu)
+        states = _mechanize_jit(self.params, s, imu)
         return states.index(-1)
 
     def _preintegrate(self, state_prev: NavState, imu: ImuSeq):
@@ -392,17 +586,35 @@ class Estimator:
         ``preintegration.h:57-73``): plain/EARTH via the unified iewn path,
         ODO/EARTH_ODO when an odometer is configured."""
         if self.use_odo:
-            from ..ins.preintegration_odo import preintegrate_odo
+            global _preintegrate_odo_jit
+            if _preintegrate_odo_jit is None:
+                from ..ins.preintegration_odo import preintegrate_odo
 
-            return preintegrate_odo(
+                _preintegrate_odo_jit = jax.jit(preintegrate_odo)
+            return _preintegrate_odo_jit(
                 self.params, self.odo_params, state_prev, self.window.sodo,
                 imu, self._odo_increments(imu),
             )
-        return pre.preintegrate(self.params, state_prev, imu)
+        return _preintegrate_jit(self.params, state_prev, imu)
 
     def _add_time_node(self, t: float, is_kf: bool):
         """Preintegrate from the previous node and append a node at t
-        (parity addNewTimeNode, ic_gvins.cc:931-962)."""
+        (parity addNewTimeNode, ic_gvins.cc:931-962). An interval that
+        outruns the preintegration capacity or the reference's 10 s
+        maximum (e.g. the first fix after a long GNSS outage with no
+        camera) is broken into intermediate plain time nodes first."""
+        max_span = min(
+            0.8 * self.cfg.max_imu_per_interval / self.cfg.imudatarate,
+            self.cfg.max_preint_length,
+        )
+        while t - self.node_times[-1] > max_span:
+            self._add_time_node_single(self.node_times[-1] + max_span, False)
+            # keep a free slot for the real node (and its successor)
+            while self.n_nodes > self.cfg.max_nodes - 2:
+                self._marginalize_oldest()
+        self._add_time_node_single(t, is_kf)
+
+    def _add_time_node_single(self, t: float, is_kf: bool):
         t_prev = self.node_times[-1]
         imu = self.imu.slice_between(t_prev, t, self.cfg.max_imu_per_interval)
         i = self.n_nodes - 1
@@ -494,9 +706,29 @@ class Estimator:
                 float(self.window.preint.dt[k - 1])
                 > self.cfg.max_preint_length
             ):
-                return  # avoid reintegrating a long-time preintegration
+                # avoid reintegrating a long-time preintegration
+                self.dropped_gnss += 1
+                from ..common.logging import LOGW
+
+                LOGW(f"GNSS fix at {t:.3f} dropped: enclosing "
+                     "preintegration too long")
+                return
             if self.n_nodes >= self.cfg.max_nodes - 1:
-                return  # no free slot this round; drop the fix
+                # no free slot: marginalize the oldest node first, then
+                # retry — the reference rebuilds the window tail instead of
+                # dropping (ic_gvins.cc:894-920). Sliding shifts every
+                # node index down by one, including the enclosing interval.
+                if k > 1 and self.n_nodes > 2:
+                    origin_before = self.origin.copy()
+                    self._marginalize_oldest()
+                    k -= 1
+                    p = np.asarray(p) - (self.origin - origin_before)
+                if self.n_nodes >= self.cfg.max_nodes - 1 or k < 1:
+                    self.dropped_gnss += 1
+                    from ..common.logging import LOGW
+
+                    LOGW(f"GNSS fix at {t:.3f} dropped: window at capacity")
+                    return
             self.window, self.prior = _insert(
                 self.window, self.prior, k, self.n_nodes
             )
@@ -553,8 +785,28 @@ class Estimator:
         """
         if self.state == INITIALIZING:
             return
+        t = float(t)
         if self.imu.time[-1] < t:
+            # ahead of IMU coverage: defer until add_imu covers the stamp
+            # (the reference's tracking thread spins, ic_gvins.cc:541-547)
+            import bisect
+
+            bisect.insort(
+                self.pending_events,
+                (t, "frame", list(ids), np.array(uv, np.float64),
+                 None if vel is None else np.array(vel, np.float64), force_kf),
+                key=lambda e: e[0],
+            )
             return
+        self._dispatch_frame(t, ids, uv, vel, force_kf)
+
+    def _dispatch_frame(self, t, ids, uv, vel, force_kf):
+        if self.state == INITIALIZING_INS:
+            # vision joins only after the GINS phase has run long enough
+            # (preintegrationlist >= initlength, ic_gvins.cc:443-446)
+            if self.n_nodes - 1 < max(1, int(self.cfg.initlength)):
+                return
+            self.state = INITIALIZING_VIO
         ids = list(map(int, ids))
         uv = np.asarray(uv, np.float64)
         vel = np.zeros_like(uv) if vel is None else np.asarray(vel, np.float64)
@@ -587,6 +839,9 @@ class Estimator:
                 lm_ref[slot] = n
                 lm_valid[slot] = False  # becomes valid at 2nd observation
                 lm_invd[slot] = 1.0 / 10.0  # DEFAULT_DEPTH
+                from .drawer import MAPPOINT_DEPTH_INITIALIZED
+
+                self.lm_type[slot] = MAPPOINT_DEPTH_INITIALIZED
             else:
                 if not lm_valid[slot] and obs_valid[slot].sum() >= 1:
                     lm_valid[slot] = True
@@ -629,7 +884,17 @@ class Estimator:
             cost_ms=0.0,
         ))
 
-        if self.state == INITIALIZING_INS:
+        if self.state == INITIALIZING_VIO:
+            # the first visual keyframe joins as a node WITHOUT an
+            # optimization round (ic_gvins.cc:357-366)
+            self.state = TRACKING_INITIALIZING
+            return
+        if (
+            self.state == TRACKING_INITIALIZING
+            and self.n_keyframes > self.cfg.optimize_windows_size
+        ):
+            # window full: normal tracking; ext/td estimation unfreezes
+            # (ic_gvins.cc:453-456, gate at 1806/1815)
             self.state = TRACKING_NORMAL
         self._optimize_round(
             remove_node_t=t if kf_kind == "second_new" else None
@@ -687,7 +952,11 @@ class Estimator:
         ]
         if not cand:
             return
-        cand = np.asarray(cand)
+        n_real = len(cand)
+        # pad to a bucketed shape: a fresh candidate count otherwise
+        # compiles a new XLA program every keyframe
+        n_padded = min(_bucket(n_real, 32), w.n_landmarks)
+        cand = np.asarray(cand + [cand[0]] * (n_padded - n_real))
         nodes = self.window.nodes
         refs = lm_ref[cand]
 
@@ -705,8 +974,12 @@ class Estimator:
         xy1 = jnp.asarray(np.asarray(w.obs_uv)[cand, n])
         _, invd, ok = triangulate_checked(r0, t0, r1, t1, xy0, xy1, reproj_thresh=0.05)
         invd = np.asarray(invd)
-        ok = np.asarray(ok)
+        ok = np.array(ok)  # writable copy
+        ok[n_real:] = False  # padding lanes
         lm_invd[cand[ok]] = invd[ok]
+        from .drawer import MAPPOINT_TRIANGULATED
+
+        self.lm_type[cand[ok]] = MAPPOINT_TRIANGULATED
         self.window = self.window._replace(lm_invdepth=jnp.asarray(lm_invd))
 
     # ------------------------------------------------------------------
@@ -720,12 +993,35 @@ class Estimator:
         # (gvinsInitializationOptimization, ic_gvins.cc:728-756 runs <=50
         # iterations; culling starts with the full fusion)
         warming_up = self.n_nodes < 6
+        # extrinsic/time-delay estimation only in normal tracking
+        # (ic_gvins.cc:1806,1815: frozen unless GVINS_TRACKING_NORMAL)
+        cfg_round = self.solver_cfg
+        gate = self.state >= TRACKING_NORMAL
+        if self.cfg.optimize_estimate_extrinsic or self.cfg.optimize_estimate_td:
+            cfg_round = cfg_round._replace(
+                estimate_extrinsic=jnp.asarray(
+                    self.cfg.optimize_estimate_extrinsic and gate
+                ),
+                estimate_td=jnp.asarray(
+                    self.cfg.optimize_estimate_td and gate
+                ),
+            )
         t0 = _time.perf_counter()
-        self.window, stats = lm_mod.optimize(
-            self.window, self.prior, self.solver_cfg, self.params,
-            iters=(30 if warming_up else self.cfg.optimize_num_iterations),
-            do_cull=not warming_up,
-        )
+        if self.mesh is not None:
+            from ..parallel.lm_sharded import optimize_sharded
+
+            self.window, stats = optimize_sharded(
+                self.window, self.prior, cfg_round, self.params,
+                self.mesh,
+                iters=(30 if warming_up else self.cfg.optimize_num_iterations),
+                do_cull=not warming_up,
+            )
+        else:
+            self.window, stats = lm_mod.optimize(
+                self.window, self.prior, cfg_round, self.params,
+                iters=(30 if warming_up else self.cfg.optimize_num_iterations),
+                do_cull=not warming_up,
+            )
         t_opt = _time.perf_counter() - t0
         s1, s2, ncull = stats
         # per-keyframe statistics with reference parity
@@ -766,6 +1062,8 @@ class Estimator:
                 outlier_features=n_out_feat,
                 n_nodes=self.n_nodes,
                 timecost_ms=round(t_opt * 1e3, 2),
+                imu_repaired=self.imu_repaired,
+                dropped_gnss=self.dropped_gnss,
             )
         )
         self._maybe_reintegrate()
@@ -859,8 +1157,13 @@ class Estimator:
             obs_valid=jnp.asarray(obs_valid), lm_valid=jnp.asarray(lm_valid)
         )
         for fid in [f for f, s in self.lm_slot.items() if kill[s]]:
-            self.free_slots.append(self.lm_slot.pop(fid))
+            self._free_lm_slot(fid)
         return n_lm, n_feat
+
+    def _free_lm_slot(self, fid):
+        s = self.lm_slot.pop(fid)
+        self.free_slots.append(s)
+        self.lm_type[s] = 0  # MAPPOINT_NONE
 
     def _remove_node(self, i: int):
         """Remove time node i and merge the adjacent preintegrations by
@@ -886,7 +1189,7 @@ class Estimator:
             if not lm_valid[s] and not obs_any[s]
         ]
         for fid in dead:
-            self.free_slots.append(self.lm_slot.pop(fid))
+            self._free_lm_slot(fid)
         if i < self.n_nodes:
             # interior removal: re-preintegrate the merged interval into
             # slot i-1 (now spanning node i-1 -> old node i+1)
@@ -953,15 +1256,12 @@ class Estimator:
                 forgetting=self.cfg.prior_forgetting,
             )
         else:
-            # slide only; then (optionally) re-anchor with bounded info.
-            # Full marginalization information accumulates without bound
-            # (the preintegration bias links carry ~1e10 info), so a
-            # slightly-wrong estimate gets locked in and relinearization
-            # bias compounds into drift on long runs; a fixed-information
-            # continuity anchor keeps the gauge and short-term memory
-            # without that failure mode.
+            # slide only; then (optionally) re-anchor with bounded info —
+            # a cheaper degraded mode kept for experiments (the default is
+            # the reference-parity full Schur prior above, which bridges
+            # GNSS outages the anchor cannot)
             self.window, _ = slide_window(
-                self.window, _empty_prior(self.cfg.max_nodes)
+                self.window, _empty_prior(self.window.n_nodes)
             )
             if mode == "anchor":
                 self.prior = make_init_prior(
@@ -970,7 +1270,7 @@ class Estimator:
                     jnp.asarray(self.cfg.anchor_mix_std),
                 )
             else:
-                self.prior = _empty_prior(self.cfg.max_nodes)
+                self.prior = _empty_prior(self.window.n_nodes)
         was_kf = self.node_is_kf.pop(0)
         self.node_times.pop(0)
         self.n_nodes -= 1
@@ -989,7 +1289,7 @@ class Estimator:
         # free landmark slots that died with the marginalized anchor
         dead_ids = [fid for fid, s in self.lm_slot.items() if s in set(dead_slots)]
         for fid in dead_ids:
-            self.free_slots.append(self.lm_slot.pop(fid))
+            self._free_lm_slot(fid)
         # landmarks anchored at the (old) node 0 whose slots weren't valid
         # yet (single observation) also die; reclaim any slot with no obs
         obs_valid = np.asarray(self.window.obs_valid)
@@ -999,8 +1299,12 @@ class Estimator:
             if not lm_valid[s] and obs_valid[s].sum() == 0
         ]
         for fid in stale:
-            self.free_slots.append(self.lm_slot.pop(fid))
+            self._free_lm_slot(fid)
         self._maybe_recenter()
+        # track the Earth rate with the vehicle: refresh iewn/gravity at the
+        # new window head (the reference re-derives omega_ie^n from position
+        # at every preintegration reset, preintegration_earth.cc:305-324)
+        self._refresh_earth_params(np.asarray(self.window.nodes.p[0]))
 
     def _save_fixed_mappoints(self, slots):
         """Record the world positions of landmarks leaving the window —
@@ -1019,13 +1323,19 @@ class Estimator:
         )
         if not ok.any():
             return
+        # host-side numpy math: slot counts vary per marginalization, and
+        # device dispatch here would compile a new program per count
+        def np_quat_rotate(q, v):
+            w_, xyz = q[..., :1], q[..., 1:]
+            t2 = 2.0 * np.cross(xyz, v)
+            return v + w_ * t2 + np.cross(xyz, t2)
+
         pc = np.concatenate([uv, np.ones((len(slots), 1))], 1) / invd[:, None]
-        q0 = jnp.asarray(np.asarray(w.nodes.q)[refs])
+        q0 = np.asarray(w.nodes.q)[refs]
         p0 = np.asarray(w.nodes.p)[refs]
-        pb = np.asarray(
-            jax.vmap(rot.quat_rotate, (None, 0))(w.ext_q, jnp.asarray(pc))
-        ) + np.asarray(w.ext_p)
-        pw = np.asarray(jax.vmap(rot.quat_rotate)(q0, jnp.asarray(pb))) + p0
+        ext_q = np.asarray(w.ext_q)
+        pb = np_quat_rotate(ext_q[None, :], pc) + np.asarray(w.ext_p)
+        pw = np_quat_rotate(q0, pb) + p0
         for x in pw[ok]:
             self.fixed_mappoints.append(np.asarray(x, np.float64) + self.origin)
 
@@ -1099,7 +1409,7 @@ class Estimator:
             iewn=np.asarray(self.params.iewn),
             last_node_state=[np.asarray(x) for x in jax.tree.leaves(self.last_node_state)]
             if self.last_node_state is not None else None,
-            imu=(self.imu.time, self.imu.dt, self.imu.dtheta, self.imu.dvel),
+            imu=self.imu.arrays(),
             odo=(self.odo_t, self.odo_v),
             origin=self.origin,
             traj=(self.traj_times, self.traj_p, self.traj_q),
@@ -1107,6 +1417,11 @@ class Estimator:
                 [np.asarray(x) for x in self._ext_accepted]
                 if self._ext_accepted is not None else None
             ),
+            pending_events=self.pending_events,
+            imu_repaired=self.imu_repaired,
+            dropped_gnss=self.dropped_gnss,
+            origin_blh=self.origin_blh,
+            gravity=np.asarray(self.params.gravity),
         )
         with open(path, "wb") as f:
             pickle.dump(state, f)
@@ -1138,7 +1453,10 @@ class Estimator:
                 tree_s, [jnp.asarray(x) for x in state["last_node_state"]]
             )
             self.cur_state = self.last_node_state
-        self.imu.time, self.imu.dt, self.imu.dtheta, self.imu.dvel = state["imu"]
+        self.imu = _make_imu_buffer(self.cfg)
+        for t, dt, dth, dv in zip(*state["imu"]):
+            self.imu.append(float(t), float(dt), np.asarray(dth),
+                            np.asarray(dv))
         self.odo_t, self.odo_v = state.get("odo", ([], []))
         self.origin = state.get("origin", np.zeros(3, np.float64))
         self.traj_times, self.traj_p, self.traj_q = state["traj"]
@@ -1146,6 +1464,14 @@ class Estimator:
         self._ext_accepted = (
             (jnp.asarray(ea[0]), jnp.asarray(ea[1])) if ea is not None else None
         )
+        self.pending_events = state.get("pending_events", [])
+        self.imu_repaired = state.get("imu_repaired", 0)
+        self.dropped_gnss = state.get("dropped_gnss", 0)
+        self.origin_blh = state.get("origin_blh")
+        if "gravity" in state:
+            self.params = self.params._replace(
+                gravity=jnp.asarray(state["gravity"])
+            )
 
     # ------------------------------------------------------------------
     # queries

@@ -32,7 +32,7 @@ class Pipeline:
             max_features=cfg.track_max_features,
             use_pallas=use_pallas,
             use_clahe=use_clahe,
-            check_histogram=False,
+            check_histogram=cfg.track_check_histogram,
         )
         # optional visualization sink (parity DrawerRviz: the reference
         # engine forwards tracked points / poses / landmarks to a drawer,
@@ -42,6 +42,9 @@ class Pipeline:
 
     def add_imu(self, t, dt, dtheta, dvel):
         self.est.add_imu(t, dt, dtheta, dvel)
+
+    def set_origin_blh(self, blh):
+        self.est.set_origin_blh(blh)
 
     def add_gnss(self, t, p_local, std):
         self.est.add_gnss(t, p_local, std)
@@ -79,15 +82,16 @@ class Pipeline:
         """Forward the frame's tracking/map/pose state to the drawer
         (the reference's updateTrackedMapPoints/updateTrackedRefPoints/
         updateFrame/updateMap/addNewFixedMappoint calls)."""
-        from .drawer import MAPPOINT_TRIANGULATED
-
         fe, est, d = self.frontend, self.est, self.drawer
         in_map = np.array(
             [fid in est.lm_slot for fid in fe.last_tracked_ids], bool
         )
+        types = np.array(
+            [est.lm_type[est.lm_slot[fid]]
+             for fid in fe.last_tracked_ids[in_map]], np.int32
+        )
         d.update_tracked_mappoints(
-            fe.last_prev_pts[in_map], fe.last_cur_pts[in_map],
-            np.full(int(in_map.sum()), MAPPOINT_TRIANGULATED),
+            fe.last_prev_pts[in_map], fe.last_cur_pts[in_map], types
         )
         d.update_tracked_refpoints(
             fe.last_prev_pts[~in_map], fe.last_cur_pts[~in_map]

@@ -38,10 +38,10 @@ def load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO):
-        try:
-            build()
-        except Exception:
+    try:
+        build()  # no-op when the .so is newer than every source
+    except Exception:
+        if not os.path.exists(_SO):
             return None
     lib = ctypes.CDLL(_SO)
     lib.imu_buffer_create.restype = ctypes.c_void_p
@@ -57,6 +57,12 @@ def load():
     lib.imu_buffer_drop_before.argtypes = [ctypes.c_void_p, ctypes.c_double]
     lib.imu_buffer_last_time.restype = ctypes.c_double
     lib.imu_buffer_last_time.argtypes = [ctypes.c_void_p]
+    lib.imu_buffer_export.restype = ctypes.c_int64
+    lib.imu_buffer_export.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
     lib.imu_buffer_slice.restype = ctypes.c_int64
     lib.imu_buffer_slice.argtypes = [
         ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int64,
@@ -111,6 +117,22 @@ class NativeImuBuffer:
 
     def drop_before(self, t):
         self._lib.imu_buffer_drop_before(self._h, float(t))
+
+    def export_arrays(self):
+        """(time [n], dt [n], dtheta [n,3], dvel [n,3]) of every stored
+        sample (checkpoint serialization)."""
+        n = len(self)
+        time = np.empty(n, np.float64)
+        dt = np.empty(n, np.float64)
+        dtheta = np.empty((n, 3), np.float64)
+        dvel = np.empty((n, 3), np.float64)
+        p = ctypes.POINTER(ctypes.c_double)
+        got = self._lib.imu_buffer_export(
+            self._h, n, time.ctypes.data_as(p), dt.ctypes.data_as(p),
+            dtheta.ctypes.data_as(p), dvel.ctypes.data_as(p),
+        )
+        assert got == n
+        return time, dt, dtheta, dvel
 
     @property
     def last_time(self):

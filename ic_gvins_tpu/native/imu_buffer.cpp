@@ -73,6 +73,24 @@ int64_t imu_buffer_append(void* h, double time, double dt, const double* dtheta,
     return added + 1;
 }
 
+// Export all stored samples (for checkpointing). Returns the number of
+// samples written, or -1 if max_n is too small.
+int64_t imu_buffer_export(void* h, int64_t max_n, double* out_time,
+                          double* out_dt, double* out_dtheta,
+                          double* out_dvel) {
+    auto* b = static_cast<ImuBuffer*>(h);
+    int64_t n = static_cast<int64_t>(b->samples.size());
+    if (n > max_n) return -1;
+    for (int64_t i = 0; i < n; ++i) {
+        const ImuSample& s = b->samples[i];
+        out_time[i] = s.time;
+        out_dt[i] = s.dt;
+        std::memcpy(out_dtheta + 3 * i, s.dtheta, sizeof s.dtheta);
+        std::memcpy(out_dvel + 3 * i, s.dvel, sizeof s.dvel);
+    }
+    return n;
+}
+
 void imu_buffer_drop_before(void* h, double t) {
     auto* b = static_cast<ImuBuffer*>(h);
     auto it = std::lower_bound(

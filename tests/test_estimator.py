@@ -22,7 +22,8 @@ def small_cfg(**kw):
 
 def run_sequence(cfg, duration=15.0, with_vision=False, gnss_std=0.05, seed=0,
                  imu_rate=200.0, frame_rate=10.0, gnss_rate=1.0, n_landmarks=96,
-                 gnss_until=None, odo_sodo_true=None):
+                 gnss_until=None, odo_sodo_true=None, imu_gap=None,
+                 gnss_outage=None, mesh=None):
     params = sim.default_params(with_earth=cfg.iswithearth, lat_deg=cfg.track_ref_lat_deg)
     traj = sim.car_trajectory()
     key = jax.random.PRNGKey(seed)
@@ -69,6 +70,8 @@ def run_sequence(cfg, duration=15.0, with_vision=False, gnss_std=0.05, seed=0,
         odo_t, odo_v = np.asarray(odo_t), np.asarray(odo_v)
 
     est = Estimator(cfg)
+    if mesh is not None:
+        est.set_mesh(mesh)
     if cam_cfg is not None:
         est.window = est.window._replace(ext_p=cam_cfg[0], ext_q=cam_cfg[1])
 
@@ -77,18 +80,33 @@ def run_sequence(cfg, duration=15.0, with_vision=False, gnss_std=0.05, seed=0,
     gt = np.asarray(gnss.time)
     gp = np.asarray(gnss.p)
     gs = np.asarray(gnss.std)
+    t_last_fed = None
     for k in range(imu.n):
         t = float(imu.time[k])
         dt = float(imu.dt[k])
         if dt == 0.0:
             continue
+        if imu_gap is not None and imu_gap[0] < t <= imu_gap[1]:
+            continue  # sensor dropout: these samples never arrive
         if odo_t is not None:
             while oi < len(odo_t) and odo_t[oi] <= t:
                 est.add_odo(odo_t[oi], odo_v[oi])
                 oi += 1
-        est.add_imu(t, dt, np.asarray(imu.dtheta[k]), np.asarray(imu.dvel[k]))
+        dth = np.asarray(imu.dtheta[k])
+        dv = np.asarray(imu.dvel[k])
+        if t_last_fed is not None and t - t_last_fed > 1.5 * dt:
+            # the driver computes increments as rate * (time since last
+            # received sample), so the post-gap sample spans the whole gap
+            # (fusion_ros.cc:145-150)
+            scale = (t - t_last_fed) / dt
+            dth, dv, dt = dth * scale, dv * scale, t - t_last_fed
+        est.add_imu(t, dt, dth, dv)
+        t_last_fed = t
         while gi < len(gt) and gt[gi] <= t:
-            if gnss_until is None or gt[gi] <= gnss_until:
+            ok = gnss_until is None or gt[gi] <= gnss_until
+            if gnss_outage is not None and gnss_outage[0] <= gt[gi] < gnss_outage[1]:
+                ok = False  # simulated outage window (fusion_ros.cc:199-211)
+            if ok:
                 est.add_gnss(float(gt[gi]), gp[gi], gs[gi])
             gi += 1
         while fi < len(frames) and frames[fi][0] <= t:

@@ -1,0 +1,147 @@
+"""Ingest-hardening tests: IMU gap repair, deferred events, Earth-from-
+position, GNSS capacity slide, histogram gate wiring.
+
+Reference behaviors covered: ``GVINS::addNewImu`` gap fill
+(ic_gvins.cc:191-203), tracking-thread coverage wait (ic_gvins.cc:541-547),
+Earth init from the GNSS fix (ic_gvins.cc:709-712,
+preintegration_earth.cc:305-324), window-tail rebuild for late fixes
+(ic_gvins.cc:894-920), histogram frame gate (tracking.cc:115-133).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ic_gvins_tpu.common import earth
+from ic_gvins_tpu.engine.config import EngineConfig
+from ic_gvins_tpu.engine.estimator import INITIALIZING, Estimator
+
+from test_estimator import ate, run_sequence, small_cfg
+
+D2R = np.pi / 180.0
+
+
+def test_imu_gap_repair_keeps_ate_bounded():
+    cfg = small_cfg()
+    est, traj, params = run_sequence(
+        cfg, duration=15.0, with_vision=False, imu_gap=(7.0, 7.05)
+    )
+    assert est.state != INITIALIZING
+    # a 50 ms dropout at 200 Hz -> ~9 synthesized samples
+    assert est.imu_repaired >= 5
+    rmse, mx = ate(est, traj, params, t_min=5.0)
+    assert rmse < 0.25, f"gap-repaired run diverged: rmse={rmse}"
+
+
+def _feed_level_motion(est, t0, t1, rate=200.0, g=9.80):
+    """Constant-velocity level motion: zero gyro, gravity-reaction accel."""
+    dt = 1.0 / rate
+    n0, n1 = int(round(t0 * rate)), int(round(t1 * rate))
+    for k in range(n0 + 1, n1 + 1):
+        est.add_imu(k * dt, dt, np.zeros(3), np.array([0.0, 0.0, -g * dt]))
+
+
+def _init_moving(est, v=1.0, g=9.80):
+    """Initialize via moving alignment: fixes 1 s apart, velocity v north."""
+    _feed_level_motion(est, 0.0, 1.05, g=g)
+    est.add_gnss(1.0, np.array([v * 1.0, 0.0, 0.0]), np.full(3, 0.05))
+    _feed_level_motion(est, 1.05, 2.05, g=g)
+    est.add_gnss(2.0, np.array([v * 2.0, 0.0, 0.0]), np.full(3, 0.05))
+
+
+def test_deferred_gnss_processed_on_imu_arrival():
+    cfg = small_cfg()
+    est = Estimator(cfg)
+    _init_moving(est)
+    assert est.state != INITIALIZING
+    n_before = est.n_nodes
+    # fix ahead of IMU coverage: must defer, not drop
+    est.add_gnss(3.0, np.array([3.0, 0.0, 0.0]), np.full(3, 0.05))
+    assert est.n_nodes == n_before
+    assert len(est.pending_events) == 1
+    _feed_level_motion(est, 2.05, 3.05)
+    assert not est.pending_events
+    assert est.n_nodes == n_before + 1
+    assert est.dropped_gnss == 0
+
+
+def test_deferred_frame_processed_on_imu_arrival():
+    cfg = small_cfg()
+    est = Estimator(cfg)
+    _init_moving(est)
+    # one GINS node so the staged machine admits vision (initlength=1)
+    _feed_level_motion(est, 2.05, 3.05)
+    est.add_gnss(3.0, np.array([3.0, 0.0, 0.0]), np.full(3, 0.05))
+    ids = list(range(12))
+    uv = np.random.RandomState(0).uniform(-0.2, 0.2, (12, 2))
+    n_before = est.n_nodes
+    est.add_frame_observations(3.5, ids, uv)  # ahead of coverage
+    assert est.n_nodes == n_before and len(est.pending_events) == 1
+    _feed_level_motion(est, 3.05, 3.6)
+    assert not est.pending_events
+    assert est.n_nodes == n_before + 1  # first frame forces a keyframe
+
+
+def test_earth_params_from_origin_blh():
+    lat = 37.5 * D2R
+    origin = np.array([lat, 127.0 * D2R, 80.0])
+    g_true = float(earth.gravity(jnp.asarray(origin)))
+    cfg = small_cfg(iswithearth=True, track_ref_lat_deg=0.0)  # fallback wrong
+    est = Estimator(cfg)
+    est.set_origin_blh(origin)
+    _init_moving(est, g=g_true)
+    assert est.state != INITIALIZING
+    iewn_expect = np.asarray(earth.iewn(jnp.asarray(lat)))
+    np.testing.assert_allclose(np.asarray(est.params.iewn), iewn_expect,
+                               rtol=0, atol=1e-9)
+    assert abs(float(est.params.gravity[2]) - g_true) < 1e-6
+
+
+def test_gnss_capacity_slide_keeps_fix():
+    cfg = small_cfg()
+    est = Estimator(cfg)
+    _init_moving(est)
+    for k in range(3, 9):
+        _feed_level_motion(est, k - 1 + 0.05, k + 0.05)
+        est.add_gnss(float(k), np.array([float(k), 0.0, 0.0]),
+                     np.full(3, 0.05))
+    n = est.n_nodes
+    assert n >= 6
+    # shrink the capacity so the next mid-window insert hits the full-window
+    # branch: it must slide (marginalize the head) and attach, not drop
+    est.cfg.max_nodes_saved = est.cfg.max_nodes
+    est.cfg.max_nodes = n + 1
+    t_fix = est.node_times[-1] - 0.45
+    est.add_gnss(t_fix, np.array([t_fix, 0.0, 0.0]), np.full(3, 0.05))
+    assert est.dropped_gnss == 0
+    # the late fix must now live on a node at (or synced near) its stamp
+    gv = np.asarray(est.window.gnss_valid)
+    hit = [i for i, tt in enumerate(est.node_times)
+           if abs(tt - t_fix) <= est.cfg.min_sync_interval and gv[i]]
+    assert hit, f"late fix not attached: times={est.node_times}"
+    est.cfg.max_nodes = est.cfg.max_nodes_saved
+
+
+def test_histogram_gate_wiring_and_skip():
+    from ic_gvins_tpu.engine.pipeline import Pipeline
+    from ic_gvins_tpu.engine.config import CameraConfig
+
+    cfg = small_cfg(track_check_histogram=True,
+                    cam=CameraConfig(intrinsic=(100.0, 100.0, 64.0, 48.0),
+                                     distortion=(0, 0, 0, 0),
+                                     resolution=(128, 96)))
+    pipe = Pipeline(cfg, use_pallas=False, use_clahe=False)
+    assert pipe.frontend.check_histogram is True
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (96, 128)).astype(np.uint8)
+    fe = pipe.frontend
+    ids0, uv0, _ = fe.process(0.0, img)
+    assert len(ids0) > 0
+    # an all-white glitch frame must be skipped: observations unchanged
+    white = np.full((96, 128), 255, np.uint8)
+    ids1, uv1, _ = fe.process(0.1, white)
+    np.testing.assert_array_equal(ids0, ids1)
+    np.testing.assert_allclose(uv0, uv1)
+    # and the next normal frame tracks again off the pre-glitch pyramid
+    ids2, _, _ = fe.process(0.2, img)
+    assert len(ids2) > 0
