@@ -78,12 +78,21 @@ class Window(NamedTuple):
 
 
 class Prior(NamedTuple):
-    """Marginalization prior: r = e + J @ boxminus(window, lin), over the
-    states-only coordinates [nodes | ext | td] (landmarks never survive
-    marginalization — parity with ``marginalization_info.h:153-192``)."""
+    """Marginalization prior as a quadratic form over the states-only
+    coordinates [nodes | ext | td] (landmarks never survive
+    marginalization — parity with ``marginalization_info.h:153-192``):
 
-    J: jax.Array  # [DX, DX]
-    e: jax.Array  # [DX]
+        cost(x) = const + g . dx + 0.5 dx^T H dx,   dx = x ⊟ lin
+
+    TPU-first deviation from the reference: the reference materializes the
+    eigen square root (J0, e0) because Ceres factors must return residual
+    VECTORS (``marginalization_info.h:153-167``); this solver consumes only
+    the Gauss-Newton pieces J0^T J0 = H and J0^T e0 = g, so the prior is
+    carried as (H, g) directly — no per-keyframe dense eigendecomposition
+    anywhere in the pipeline (it dominated the TPU round at ~18 ms/seq)."""
+
+    H: jax.Array  # [DX, DX] information (GN Hessian) at lin
+    g: jax.Array  # [DX] gradient at lin
     lin_nodes: NavState  # [N] linearization snapshot
     lin_ext_p: jax.Array
     lin_ext_q: jax.Array
@@ -102,6 +111,11 @@ class SolverConfig(NamedTuple):
     estimate_td: jax.Array  # () bool
     estimate_sodo: jax.Array  # () bool (ODO modes)
     sodo_prior_std: jax.Array  # () soft zero-prior std (0.02, imu_error_factor.h)
+    # chi2 GNSS reweight mode: False (default) = non-compounding capped
+    # inflation recomputed from the base std each round; True = the
+    # reference's in-place compounding (gnss->std *= scale,
+    # ic_gvins.cc:1275-1301). See tests/test_chi2_ab.py for the A/B.
+    chi2_compound: jax.Array = None
 
 
 def empty_window(n_nodes: int, n_landmarks: int, dtype=jnp.float64,
@@ -185,8 +199,8 @@ def empty_window(n_nodes: int, n_landmarks: int, dtype=jnp.float64,
 def empty_prior(n_nodes: int, dtype=jnp.float64) -> Prior:
     dx = n_nodes * NODE_DOF + EXT_DOF
     return Prior(
-        J=jnp.zeros((dx, dx), dtype),
-        e=jnp.zeros(dx, dtype),
+        H=jnp.zeros((dx, dx), dtype),
+        g=jnp.zeros(dx, dtype),
         lin_nodes=NavState(
             time=jnp.zeros(n_nodes, dtype),
             p=jnp.zeros((n_nodes, 3), dtype),
@@ -228,8 +242,8 @@ def make_init_prior(
         n15 = window.n_nodes * NODE_DOF
         diag = diag.at[n15 : n15 + EXT_DOF].set(1.0 / ext_std)
     return Prior(
-        J=jnp.diag(diag),
-        e=jnp.zeros(dx, dtype),
+        H=jnp.diag(diag**2),
+        g=jnp.zeros(dx, dtype),
         lin_nodes=window.nodes,
         lin_ext_p=window.ext_p,
         lin_ext_q=window.ext_q,

@@ -48,14 +48,14 @@ def test_prior_residual_zero_at_linearization():
     win_opt, _ = lm.optimize(win, prior, cfg, params, iters=10)
     win2, prior2 = marg.marginalize_and_slide(win_opt, prior, cfg, params)
 
-    # At the linearization point the prior residual equals e0, and the
-    # gradient J0^T e0 approximates the true marginal gradient: for a
-    # converged window it must be small relative to the prior's scale.
+    # At the linearization point the prior gradient equals the stored g0,
+    # which approximates the true marginal gradient: for a converged
+    # window it must be small relative to the prior's information scale.
     from ic_gvins_tpu.solver.assembly import eval_prior
 
-    r, J = eval_prior(win2, prior2)
-    g = J.T @ r
-    assert float(jnp.linalg.norm(g)) < 10.0 * float(jnp.linalg.norm(jnp.diag(J @ J.T))) ** 0.5
+    H0, g, _ = eval_prior(win2, prior2)
+    assert float(jnp.linalg.norm(g)) < 10.0 * float(
+        jnp.linalg.norm(jnp.diag(H0))) ** 0.5
 
 
 def test_prior_anchors_attitude_after_sliding():
@@ -81,3 +81,41 @@ def test_prior_anchors_attitude_after_sliding():
     dq = rot.quat_mul(rot.quat_inv(w.nodes.q[:valid]), truth.q[3 : 3 + valid])
     aerr = jnp.linalg.norm(jax.vmap(rot.quat_to_rotvec)(dq), axis=-1)
     assert float(aerr.max()) < 0.03, aerr
+
+
+def test_prior_matches_exact_schur_complement():
+    """The prior's implied gradient/Hessian must equal the EXACT Schur
+    complement of the marginalized factor system (regression for the
+    round-1 bug where the Hessian correction term was masked to zero and
+    the prior kept the full uneliminated ~1e10 bias-link information)."""
+    import numpy as np
+    from ic_gvins_tpu.solver.window import empty_prior
+
+    n = 4
+    win, truth, params, _ = build_gins_window(n_nodes=n, gnss_std=0.05, seed=3)
+    cfg = default_cfg()
+    win = perturb_window(win, n, jax.random.PRNGKey(1), dp=0.02, dth=0.001,
+                         dv=0.01)
+    prior0 = empty_prior(win.n_nodes)
+    H, g = marg._marg_system(win, prior0, cfg, params, include_prior=False)
+    D, DX = win.dim_total, win.dim_x
+    m = np.zeros(D)
+    m[:15] = 1.0
+    Mi, Ri = np.nonzero(m)[0], np.nonzero(1 - m)[0]
+    H, g = np.asarray(H), np.asarray(g)
+    Hmm_inv = np.linalg.pinv(H[np.ix_(Mi, Mi)])
+    Hp_true = H[np.ix_(Ri, Ri)] - H[np.ix_(Ri, Mi)] @ Hmm_inv @ H[np.ix_(Mi, Ri)]
+    gp_true = g[Ri] - H[np.ix_(Ri, Mi)] @ Hmm_inv @ g[Mi]
+
+    pr = marg.marginalize_node0(win, prior0, cfg, params)
+    Hp, gp = np.asarray(pr.H), np.asarray(pr.g)
+    idx = np.arange(15, DX)
+    scale = np.abs(Hp_true).max()
+    np.testing.assert_allclose(gp[idx], gp_true[: DX - 15],
+                               atol=1e-4 * max(np.abs(gp_true).max(), 1.0))
+    np.testing.assert_allclose(
+        Hp[np.ix_(idx, idx)], Hp_true[: DX - 15, : DX - 15],
+        atol=1e-6 * scale,
+    )
+    # node-0 dims must carry no residual information
+    assert np.abs(Hp[:15]).max() < 1e-9 * scale
