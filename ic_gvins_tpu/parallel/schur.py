@@ -101,9 +101,9 @@ def _state_system(window: Window, prior: Prior, cfg: SolverConfig,
     H = H.at[cols_b[:, None], cols_b[None, :]].add(J_b.T @ J_b)
     g = g.at[cols_b].add(J_b.T @ r_b)
 
-    r_p, J_p = asm.eval_prior(window, prior)
-    H = H.at[:, :].add(J_p.T @ J_p)
-    g = g.at[:].add(J_p.T @ r_p)
+    P, grad_p, _ = asm.eval_prior(window, prior)
+    H = H + P
+    g = g + grad_p
     return H, g
 
 

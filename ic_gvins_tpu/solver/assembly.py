@@ -238,11 +238,18 @@ def eval_bias_prior(window: Window, cfg: SolverConfig):
 
 
 def eval_prior(window: Window, prior: Prior):
-    """Marginalization prior residual r = e + J dx and its (constant) J."""
+    """Marginalization prior quadratic form at the current estimate:
+    ``(H0 [DX,DX], grad [DX], cost2)`` with grad = g + H dx and
+    cost2 = dx^T H dx + 2 g^T dx (twice the cost, up to the constant the
+    LM accept/reject never sees). The eigen square root of the reference
+    (``marginalization_info.h:153-167``) exists only because Ceres factors
+    must return residual vectors; this solver consumes the GN pieces
+    directly."""
     from .window import state_boxminus
 
     dx = state_boxminus(window, prior)
-    return prior.e + prior.J @ dx, prior.J
+    Hdx = prior.H @ dx
+    return prior.H, prior.g + Hdx, dx @ Hdx + 2.0 * (prior.g @ dx)
 
 
 # ---------------------------------------------------------------------------
@@ -290,33 +297,44 @@ def robust_cost(
     cfg: SolverConfig,
     params: IntegrationParams,
     flags: RobustFlags,
+    axis_name: str | None = None,
 ):
-    """Total robust cost 0.5 * sum(rho(chi2)) over all factors."""
+    """Total robust cost 0.5 * sum(rho(chi2)) over all factors. With
+    ``axis_name`` the landmark-sharded vision term is ``psum``-ed."""
     r_pre, r_g, r_v, r_b = _residuals_only(window, cfg, params)
-    r_p, _ = eval_prior(window, prior)
+    _, _, prior_cost2 = eval_prior(window, prior)
 
     chi_g = jnp.sum(r_g**2, axis=-1)
     chi_v = jnp.sum(r_v**2, axis=-1)
+    cost_v = jnp.sum(jnp.where(flags.reproj_kernel, huber_rho(chi_v), chi_v))
+    if axis_name is not None:
+        cost_v = jax.lax.psum(cost_v, axis_name)
     cost = 0.5 * (
         jnp.sum(r_pre**2)
         + jnp.sum(jnp.where(flags.gnss_kernel, huber_rho(chi_g), chi_g))
-        + jnp.sum(jnp.where(flags.reproj_kernel, huber_rho(chi_v), chi_v))
+        + cost_v
         + jnp.sum(r_b**2)
-        + jnp.sum(r_p**2)
+        + prior_cost2
     )
     if is_odo_window(window):
         cost = cost + 0.5 * (window.sodo / cfg.sodo_prior_std) ** 2
     return cost
 
 
-def assemble(
+def assemble_blocks(
     window: Window,
     prior: Prior,
     cfg: SolverConfig,
     params: IntegrationParams,
     flags: RobustFlags,
+    axis_name: str | None = None,
 ):
-    """Build H [D,D], g [D] (H dx = -g) and the robust cost at the estimate.
+    """Build the Schur-structured normal equations as blocks:
+
+    ``(Hxx [DX,DX], gx [DX], Hxl [DX,L], hll [L], gl [L], cost)``
+
+    with the free-parameter mask already applied (frozen/invalid dims get
+    zero rows/cols and a unit diagonal).
 
     Fully scatter-free: XLA lowers scatter-adds into a dense matrix to
     serialized per-index updates on TPU, so every factor's contribution is
@@ -324,6 +342,13 @@ def assemble(
     [N,15,8], ext-ext [8,8], landmark cross/diag) via einsum reductions —
     dynamic node indices become one-hot contractions (MXU-friendly) — and
     the final H is one block composition (three concatenates).
+
+    **Multi-device**: with ``axis_name`` set (inside ``shard_map`` with the
+    landmark dimension sharded over that mesh axis), the vision
+    contributions to the state system and the vision cost are ``psum``-ed,
+    so ``Hxx/gx/cost`` come out full while ``Hxl/hll/gl`` stay local to the
+    calling shard — the TPU analog of Ceres DENSE_SCHUR threading
+    (``ic_gvins.cc:1178-1180``) over ICI instead of cores.
     """
     N, L = window.n_nodes, window.n_landmarks
     DX = window.dim_x
@@ -369,13 +394,15 @@ def assemble(
     w_g = jnp.where(flags.gnss_kernel, huber_weight(chi_g), jnp.ones_like(chi_g))
     A_g = w_g[:, None, None] * jnp.einsum("frc,frd->fcd", J_g, J_g)  # [N,6,6]
     E = jnp.eye(N, dtype=dtype)
-    Hpp = jnp.einsum("ka,kb,kcd->acbd", E, E, A_g)  # block-diagonal embed
-    g_p6 = w_g[:, None] * jnp.einsum("frc,fr->fc", J_g, r_g)  # [N,6]
+    Hnn = Hnn.at[:, 0:6, :, 0:6].add(
+        jnp.einsum("ka,kb,kcd->acbd", E, E, A_g)
+    )
+    g_n = g_n.at[:, 0:6].add(w_g[:, None] * jnp.einsum("frc,fr->fc", J_g, r_g))
     cost = cost + 0.5 * jnp.sum(
         jnp.where(flags.gnss_kernel, huber_rho(chi_g), chi_g)
     )
 
-    # --- reprojection factors ---
+    # --- reprojection factors (landmark-dim: shardable, own accumulators) ---
     r_v, J_v = eval_reproj(window, cfg)  # [L,N,2], [L,N,2,20]
     chi_v = jnp.sum(r_v**2, axis=-1)
     w_v = jnp.where(flags.reproj_kernel, huber_weight(chi_v), jnp.ones_like(chi_v))
@@ -393,16 +420,15 @@ def assemble(
     H_rr = jnp.einsum("la,lkrc,lkrd->acd", O, wJr, Jr)
     H_ro = jnp.einsum("la,lkrc,lkrd->akcd", O, wJr, Jo)
     # block (ref a, obs k) lives at [a, c, k, d]; its transpose at [k, d, a, c]
-    Hpp = Hpp + H_ro.transpose(0, 2, 1, 3) + H_ro.transpose(1, 3, 0, 2)
-    Hpp = Hpp + jnp.einsum("ka,kb,kcd->acbd", E, E, H_oo + H_rr)
-    Hnn = Hnn.at[:, 0:6, :, 0:6].add(Hpp)
+    Hpp_v = H_ro.transpose(0, 2, 1, 3) + H_ro.transpose(1, 3, 0, 2)
+    Hpp_v = Hpp_v + jnp.einsum("ka,kb,kcd->acbd", E, E, H_oo + H_rr)
 
     H_oe = jnp.einsum("lkrc,lkrd->kcd", wJo, Je)
     H_re = jnp.einsum("la,lkrc,lkrd->acd", O, wJr, Je)
-    Hne = Hne.at[:, 0:6, :7].add(H_oe + H_re)
-    Hee = Hee.at[:7, :7].add(jnp.einsum("lkrc,lkrd->cd", wJe, Je))
+    Hne_v = H_oe + H_re  # [N,6,7]
+    Hee_v = jnp.einsum("lkrc,lkrd->cd", wJe, Je)  # [7,7]
 
-    hll = jnp.einsum("lkr,lkr->l", wJl, Jl)  # landmark diagonal
+    hll = jnp.einsum("lkr,lkr->l", wJl, Jl)  # landmark diagonal (local)
     H_lo = jnp.einsum("lkr,lkrc->lkc", wJl, Jo)  # [L,N,6]
     H_lr = jnp.einsum("la,lkr,lkrc->lac", O, wJl, Jr)  # [L,N,6]
     Hln = jnp.zeros((L, N, NODE_DOF), dtype).at[:, :, 0:6].set(H_lo + H_lr)
@@ -410,15 +436,25 @@ def assemble(
         jnp.einsum("lkr,lkrc->lc", wJl, Je)
     )
 
-    g_o = jnp.einsum("lkrc,lkr->kc", wJo, r_v)
-    g_r = jnp.einsum("la,lkrc,lkr->ac", O, wJr, r_v)
-    g_n = g_n.at[:, 0:6].add(g_o + g_r + g_p6)
-    g_e = g_e.at[:7].add(jnp.einsum("lkrc,lkr->c", wJe, r_v))
+    g_n_v = jnp.einsum("lkrc,lkr->kc", wJo, r_v) + jnp.einsum(
+        "la,lkrc,lkr->ac", O, wJr, r_v
+    )  # [N,6]
+    g_e_v = jnp.einsum("lkrc,lkr->c", wJe, r_v)  # [7]
     g_l = jnp.einsum("lkr,lkr->l", wJl, r_v)
 
-    cost = cost + 0.5 * jnp.sum(
+    cost_v = 0.5 * jnp.sum(
         jnp.where(flags.reproj_kernel, huber_rho(chi_v), chi_v)
     )
+    if axis_name is not None:
+        Hpp_v, Hne_v, Hee_v, g_n_v, g_e_v, cost_v = jax.lax.psum(
+            (Hpp_v, Hne_v, Hee_v, g_n_v, g_e_v, cost_v), axis_name
+        )
+    Hnn = Hnn.at[:, 0:6, :, 0:6].add(Hpp_v)
+    Hne = Hne.at[:, 0:6, :7].add(Hne_v)
+    Hee = Hee.at[:7, :7].add(Hee_v)
+    g_n = g_n.at[:, 0:6].add(g_n_v)
+    g_e = g_e.at[:7].add(g_e_v)
+    cost = cost + cost_v
 
     # --- soft bias prior on the newest node (one-hot embed) ---
     r_b, J_b, k_new = eval_bias_prior(window, cfg)
@@ -435,44 +471,75 @@ def assemble(
         cost = cost + 0.5 * w_s * window.sodo**2
 
     # --- marginalization / initialization prior (spans nodes + ext) ---
-    r_p, J_p = eval_prior(window, prior)
-    P = J_p.T @ J_p
+    P, g_pri, prior_cost2 = eval_prior(window, prior)
     Hnn = Hnn + P[:NL, :NL].reshape(N, NODE_DOF, N, NODE_DOF)
     Hne = Hne + P[:NL, NL:DX].reshape(N, NODE_DOF, ED)
     Hee = Hee + P[NL:DX, NL:DX]
-    g_pri = J_p.T @ r_p
     g_n = g_n + g_pri[:NL].reshape(N, NODE_DOF)
     g_e = g_e + g_pri[NL:DX]
-    cost = cost + 0.5 * jnp.sum(r_p**2)
+    cost = cost + 0.5 * prior_cost2
 
-    # --- compose H from the block accumulators (no scatters) ---
-    Hnl = Hln.reshape(L, NL).T
-    top = jnp.concatenate([Hnn.reshape(NL, NL), Hne.reshape(NL, ED), Hnl], 1)
-    mid = jnp.concatenate([Hne.reshape(NL, ED).T, Hee, Hle.T], 1)
-    bot = jnp.concatenate([Hln.reshape(L, NL), Hle, jnp.diag(hll)], 1)
-    H = jnp.concatenate([top, mid, bot], 0)
-    g = jnp.concatenate([g_n.reshape(-1), g_e, g_l])
+    # --- compose the state block (no scatters) ---
+    top = jnp.concatenate([Hnn.reshape(NL, NL), Hne.reshape(NL, ED)], 1)
+    mid = jnp.concatenate([Hne.reshape(NL, ED).T, Hee], 1)
+    Hxx = jnp.concatenate([top, mid], 0)
+    gx = jnp.concatenate([g_n.reshape(-1), g_e])
+    Hxl = jnp.concatenate([Hln.reshape(L, NL), Hle], 1).T  # [DX, L]
 
     # --- gauge fixing of unused / frozen parameters ---
-    free = free_mask(window, cfg)
-    H = H * free[:, None] * free[None, :]
-    g = g * free
-    H = H + jnp.diag(jnp.where(jnp.diag(H) < 1e-12, 1.0, 0.0))
+    fx = free_mask_states(window, cfg).astype(dtype)
+    fl = free_mask_lm(window).astype(dtype)
+    Hxx = Hxx * fx[:, None] * fx[None, :]
+    Hxx = Hxx + jnp.diag(jnp.where(jnp.diag(Hxx) < 1e-12, 1.0, 0.0))
+    gx = gx * fx
+    Hxl = Hxl * fx[:, None] * fl[None, :]
+    hll = jnp.where(hll * fl < 1e-12, 1.0, hll * fl)
+    gl = g_l * fl
 
+    return Hxx, gx, Hxl, hll, gl, cost
+
+
+def assemble(
+    window: Window,
+    prior: Prior,
+    cfg: SolverConfig,
+    params: IntegrationParams,
+    flags: RobustFlags,
+):
+    """Full dense normal equations H [D,D], g [D] (H dx = -g) + robust
+    cost — the single-matrix composition of :func:`assemble_blocks` (kept
+    for single-program callers and tests)."""
+    Hxx, gx, Hxl, hll, gl, cost = assemble_blocks(
+        window, prior, cfg, params, flags
+    )
+    H = jnp.concatenate(
+        [jnp.concatenate([Hxx, Hxl], 1),
+         jnp.concatenate([Hxl.T, jnp.diag(hll)], 1)], 0
+    )
+    g = jnp.concatenate([gx, gl])
     return H, g, cost
 
 
-def free_mask(window: Window, cfg: SolverConfig) -> jax.Array:
-    """1.0 for parameters free to move, 0.0 for frozen/invalid ones."""
-    N, L = window.n_nodes, window.n_landmarks
-    dtype = window.nodes.p.dtype
+def free_mask_states(window: Window, cfg: SolverConfig) -> jax.Array:
+    """[DX] bool: state dims free to move (valid nodes + enabled ext/td)."""
     node_free = jnp.repeat(window.node_valid, NODE_DOF)
     ext_free = jnp.full(6, cfg.estimate_extrinsic, bool)
     td_free = jnp.array([cfg.estimate_td], bool)
     sodo_free = jnp.array([cfg.estimate_sodo & is_odo_window(window)], bool)
-    lm_free = window.lm_valid & (jnp.sum(obs_mask(window), axis=1) > 0)
+    return jnp.concatenate([node_free, ext_free, td_free, sodo_free])
+
+
+def free_mask_lm(window: Window) -> jax.Array:
+    """[L] bool: landmarks free to move (valid with >=1 live factor);
+    local to the calling shard under ``shard_map``."""
+    return window.lm_valid & (jnp.sum(obs_mask(window), axis=1) > 0)
+
+
+def free_mask(window: Window, cfg: SolverConfig) -> jax.Array:
+    """1.0 for parameters free to move, 0.0 for frozen/invalid ones."""
+    dtype = window.nodes.p.dtype
     return jnp.concatenate(
-        [node_free, ext_free, td_free, sodo_free, lm_free]
+        [free_mask_states(window, cfg), free_mask_lm(window)]
     ).astype(dtype)
 
 
@@ -506,6 +573,53 @@ def _ns_solve(A, b, iters: int = 26, refine: int = 3):
     return y
 
 
+def solve_reduced(H_red, g_red):
+    """Solve the reduced camera system (SPD) for y with H_red y = g_red.
+
+    Jacobi-scales the system to unit diagonal before solving: whitened
+    information spans ~1e2 (GNSS) to ~1e10 (preint bias links), and the
+    scaled solve keeps full precision in f32 on TPU (the raw condition
+    number exceeds f32's 7 digits). Exact in f64 too. f64 path: dense
+    Cholesky (validation); f32 path: Newton-Schulz matmuls (MXU).
+    """
+    dtype = H_red.dtype
+    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(H_red), eps))
+    H_n = H_red * s[:, None] * s[None, :]
+    H_n = H_n + eps * jnp.eye(H_n.shape[0], dtype=dtype)
+    if dtype == jnp.float64:
+        L = jnp.linalg.cholesky(H_n)
+        y = jax.scipy.linalg.cho_solve((L, True), s * g_red)
+    else:
+        y = _ns_solve(H_n, s * g_red)
+    return s * y
+
+
+def schur_solve_blocks(Hxx, gx, Hxl, hll, gl, lam, axis_name=None):
+    """Solve the damped system from :func:`assemble_blocks` outputs.
+
+    Landmark elimination is a vectorized divide; the landmark-reduction
+    terms of the reduced camera system are ``psum``-ed when ``axis_name``
+    is given (landmarks sharded across the mesh); the tiny reduced solve is
+    replicated; back-substitution stays shard-local. Returns
+    ``(dx_x [DX], dx_l [L_local])``.
+    """
+    Hxx_d = Hxx + jnp.diag(lam * jnp.diag(Hxx))
+    hll_d = hll * (1.0 + lam)
+
+    Hxl_w = Hxl / hll_d[None, :]
+    H_red_v = Hxl_w @ Hxl.T
+    g_red_v = Hxl_w @ gl
+    if axis_name is not None:
+        H_red_v, g_red_v = jax.lax.psum((H_red_v, g_red_v), axis_name)
+    H_red = Hxx_d - H_red_v
+    g_red = gx - g_red_v
+
+    dx_x = -solve_reduced(H_red, g_red)
+    dx_l = -(gl + Hxl.T @ dx_x) / hll_d
+    return dx_x, dx_l
+
+
 def schur_solve(H, g, dim_x: int, lam):
     """Solve (H + lam*diag(H)) dx = -g with Schur elimination of the
     trailing landmark block (diagonal: landmarks never couple directly).
@@ -515,31 +629,8 @@ def schur_solve(H, g, dim_x: int, lam):
     solve is a dense Cholesky in f64 (validation path) and a Newton-Schulz
     matmul solve in f32 (the TPU execution path — see ``_ns_solve``).
     """
-    d = jnp.diag(H)
-    Hd = H + jnp.diag(lam * d)
-    Hxx = Hd[:dim_x, :dim_x]
-    Hxl = Hd[:dim_x, dim_x:]
-    hll = jnp.maximum(jnp.diag(Hd)[dim_x:], 1e-12)
-    gx = g[:dim_x]
-    gl = g[dim_x:]
-
-    Hxl_w = Hxl / hll[None, :]
-    H_red = Hxx - Hxl_w @ Hxl.T
-    g_red = gx - Hxl_w @ gl
-
-    # Jacobi-scale the reduced system to unit diagonal before solving:
-    # whitened information spans ~1e2 (GNSS) to ~1e10 (preint bias links),
-    # and the scaled solve keeps full precision in f32 on TPU (the raw
-    # condition number exceeds f32's 7 digits). Exact in f64 too.
-    eps = jnp.asarray(1e-12 if H.dtype == jnp.float64 else 1e-6, H.dtype)
-    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(H_red), eps))
-    H_n = H_red * s[:, None] * s[None, :]
-    H_n = H_n + eps * jnp.eye(H_n.shape[0], dtype=H.dtype)
-    if H.dtype == jnp.float64:
-        L = jnp.linalg.cholesky(H_n)
-        y = jax.scipy.linalg.cho_solve((L, True), s * g_red)
-    else:
-        y = _ns_solve(H_n, s * g_red)
-    dx_x = -(s * y)
-    dx_l = -(gl + Hxl.T @ dx_x) / hll
+    dx_x, dx_l = schur_solve_blocks(
+        H[:dim_x, :dim_x], g[:dim_x], H[:dim_x, dim_x:],
+        jnp.maximum(jnp.diag(H)[dim_x:], 1e-12), g[dim_x:], lam,
+    )
     return jnp.concatenate([dx_x, dx_l])

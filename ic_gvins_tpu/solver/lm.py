@@ -26,11 +26,11 @@ import jax.numpy as jnp
 from ..data.types import IntegrationParams
 from .assembly import (
     RobustFlags,
-    assemble,
+    assemble_blocks,
     eval_gnss,
     eval_reproj,
     robust_cost,
-    schur_solve,
+    schur_solve_blocks,
 )
 from .window import Prior, SolverConfig, Window, apply_delta
 
@@ -57,6 +57,7 @@ def lm_run(
     flags: RobustFlags,
     iters: int,
     lam0=1e-4,
+    axis_name: str | None = None,
 ):
     """LM with multiplicative damping and Ceres-parity early termination.
 
@@ -65,7 +66,13 @@ def lm_run(
     convergence criteria hit — a ``lax.while_loop``, so converged solves
     skip the remaining iterations' work entirely (on TPU this typically
     halves the wall time of a warm sliding-window round; under ``vmap``
-    the batch runs until its slowest member converges)."""
+    the batch runs until its slowest member converges).
+
+    With ``axis_name`` (inside ``shard_map``, landmarks sharded over that
+    mesh axis) the SAME algorithm runs multi-device: assembly/cost/solve
+    reductions are ``psum``-ed, accept/reject decisions are replicated
+    (identical on every device), landmark updates stay shard-local.
+    """
     dtype = window.nodes.p.dtype
 
     def cond(carry):
@@ -74,10 +81,16 @@ def lm_run(
 
     def body(carry):
         it, _, win, lam, cost, naccept = carry
-        H, g, cost_cur = assemble(win, prior, cfg, params, flags)
-        dx = schur_solve(H, g, win.dim_x, lam)
+        Hxx, gx, Hxl, hll, gl, cost_cur = assemble_blocks(
+            win, prior, cfg, params, flags, axis_name=axis_name
+        )
+        dx_x, dx_l = schur_solve_blocks(
+            Hxx, gx, Hxl, hll, gl, lam, axis_name=axis_name
+        )
+        dx = jnp.concatenate([dx_x, dx_l])
         win_new = apply_delta(win, dx)
-        cost_new = robust_cost(win_new, prior, cfg, params, flags)
+        cost_new = robust_cost(win_new, prior, cfg, params, flags,
+                               axis_name=axis_name)
         accept = cost_new < cost_cur
         win_out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), win_new, win
@@ -88,12 +101,16 @@ def lm_run(
             jnp.abs(cost_cur - cost_new)
             < FUNCTION_TOLERANCE * jnp.maximum(cost_cur, 1e-30)
         )
-        converged = converged | (jnp.max(jnp.abs(dx)) < PARAMETER_TOLERANCE)
+        dx_max = jnp.max(jnp.abs(dx))
+        if axis_name is not None:
+            dx_max = jax.lax.pmax(dx_max, axis_name)
+        converged = converged | (dx_max < PARAMETER_TOLERANCE)
         stuck = lam_out > LAMBDA_MAX
         return (it + 1, converged | stuck, win_out, lam_out, cost_out,
                 naccept + accept.astype(jnp.int32))
 
-    cost_init = robust_cost(window, prior, cfg, params, flags)
+    cost_init = robust_cost(window, prior, cfg, params, flags,
+                            axis_name=axis_name)
     it, _, win, lam, cost, naccept = jax.lax.while_loop(
         cond, body,
         (jnp.asarray(0, jnp.int32), jnp.asarray(False), window,
@@ -103,7 +120,7 @@ def lm_run(
                         accepted=naccept, iters_run=it)
 
 
-def chi2_cull(window: Window, cfg: SolverConfig):
+def chi2_cull(window: Window, cfg: SolverConfig, axis_name: str | None = None):
     """Between-phase chi2 gates (``ic_gvins.cc:1275-1331``).
 
     Deviation from the reference: the reference multiplies the stored GNSS
@@ -120,13 +137,67 @@ def chi2_cull(window: Window, cfg: SolverConfig):
     chi_g = jnp.sum(r_g**2, axis=-1)
     scale = jnp.sqrt(jnp.clip(chi_g / 7.815, 1.0, 100.0))
     gnss_std = window.gnss_std_base * scale[:, None]
+    if cfg.chi2_compound is not None:
+        # reference-parity compounding variant (A/B-testable): evaluate at
+        # the CURRENT std and multiply it in place — persistent outliers
+        # are eventually disabled, but the inflation ratchets
+        r_gc, _ = eval_gnss(window, cfg)
+        chi_c = jnp.sum(r_gc**2, axis=-1)
+        scale_c = jnp.sqrt(jnp.maximum(chi_c / 7.815, 1.0))
+        gnss_std = jnp.where(
+            cfg.chi2_compound, window.gnss_std * scale_c[:, None], gnss_std
+        )
 
     # Reprojection: mask out observations beyond the 2-dof 95% gate.
     r_v, _ = eval_reproj(window, cfg)
     chi_v = jnp.sum(r_v**2, axis=-1)
     obs_valid = window.obs_valid & (chi_v <= 5.991)
     n_culled = jnp.sum(window.obs_valid & ~obs_valid)
+    if axis_name is not None:
+        n_culled = jax.lax.psum(n_culled, axis_name)
     return window._replace(gnss_std=gnss_std, obs_valid=obs_valid), n_culled
+
+
+def optimize_impl(
+    window: Window,
+    prior: Prior,
+    cfg: SolverConfig,
+    params: IntegrationParams,
+    iters: int = 20,
+    do_cull: bool = True,
+    axis_name: str | None = None,
+):
+    """Two-phase optimization round (``gvinsOptimization``), parameterized
+    over the mesh axis so one implementation serves the single-device path
+    and the landmark-sharded multi-device path (``parallel/lm_sharded``).
+
+    With ``do_cull=False`` this is the initialization-phase solve
+    (``gvinsInitializationOptimization``, ic_gvins.cc:728-756): one robust
+    LM run with no chi2 gates — culling on a not-yet-converged window would
+    permanently deweight good measurements.
+    """
+    if not do_cull:
+        flags = RobustFlags(
+            gnss_kernel=jnp.asarray(True), reproj_kernel=jnp.asarray(True)
+        )
+        window, stats = lm_run(window, prior, cfg, params, flags, iters,
+                               axis_name=axis_name)
+        return window, (stats, stats, jnp.asarray(0))
+
+    it1 = max(iters // 4, 1)
+    it2 = max(iters - it1, 1)
+    flags1 = RobustFlags(
+        gnss_kernel=jnp.asarray(True), reproj_kernel=jnp.asarray(True)
+    )
+    window, stats1 = lm_run(window, prior, cfg, params, flags1, it1,
+                            axis_name=axis_name)
+    window, n_culled = chi2_cull(window, cfg, axis_name=axis_name)
+    flags2 = RobustFlags(
+        gnss_kernel=jnp.asarray(False), reproj_kernel=jnp.asarray(True)
+    )
+    window, stats2 = lm_run(window, prior, cfg, params, flags2, it2,
+                            axis_name=axis_name)
+    return window, (stats1, stats2, n_culled)
 
 
 @partial(jax.jit, static_argnames=("iters", "do_cull"))
@@ -138,29 +209,5 @@ def optimize(
     iters: int = 20,
     do_cull: bool = True,
 ):
-    """Two-phase optimization round (``gvinsOptimization``).
-
-    With ``do_cull=False`` this is the initialization-phase solve
-    (``gvinsInitializationOptimization``, ic_gvins.cc:728-756): one robust
-    LM run with no chi2 gates — culling on a not-yet-converged window would
-    permanently deweight good measurements.
-    """
-    if not do_cull:
-        flags = RobustFlags(
-            gnss_kernel=jnp.asarray(True), reproj_kernel=jnp.asarray(True)
-        )
-        window, stats = lm_run(window, prior, cfg, params, flags, iters)
-        return window, (stats, stats, jnp.asarray(0))
-
-    it1 = max(iters // 4, 1)
-    it2 = max(iters - it1, 1)
-    flags1 = RobustFlags(
-        gnss_kernel=jnp.asarray(True), reproj_kernel=jnp.asarray(True)
-    )
-    window, stats1 = lm_run(window, prior, cfg, params, flags1, it1)
-    window, n_culled = chi2_cull(window, cfg)
-    flags2 = RobustFlags(
-        gnss_kernel=jnp.asarray(False), reproj_kernel=jnp.asarray(True)
-    )
-    window, stats2 = lm_run(window, prior, cfg, params, flags2, it2)
-    return window, (stats1, stats2, n_culled)
+    """Single-program two-phase round (see :func:`optimize_impl`)."""
+    return optimize_impl(window, prior, cfg, params, iters, do_cull)
