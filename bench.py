@@ -1,14 +1,21 @@
-"""Benchmark: full GVINS frame pipeline on TPU.
+"""Benchmark: full GVINS keyframe round on TPU.
 
-Measures the two hot stages of a visual keyframe round on real hardware:
+Measures EVERY stage a visual keyframe pays, fused into ONE jitted
+program per batch of sequences:
 
 * bidirectional pyramidal KLT tracking (Pallas kernel, 256 features,
-  4-level pyramid, 256x320 frames) for each sequence in the batch,
+  4-level pyramid, 256x320 frames),
+* grid Shi-Tomasi detection + subpixel refinement (feature replenish),
+* IMU preintegration of the inter-keyframe interval (128-sample scan),
+* two-view triangulation of the window's landmarks,
 * the two-phase LM sliding-window optimization round (12 nodes x 192
-  landmarks, 20 iterations) batched over the sequences,
+  landmarks, 20 iterations),
+* Schur marginalization of the oldest node + window slide (the dense
+  eigendecomposition the reference pays per slide).
 
-fused into ONE jitted program (track -> optimize), and reports pipeline
-frames/s/chip = batch / t_round.
+Reports the FULL keyframe round as the headline (frames/s/chip =
+batch / t_round) plus the kernel-only round (track+optimize, round 1's
+metric) and the stage split as extra fields.
 Prints ONE JSON line. Baseline: the reference is "real-time" on a desktop
 CPU at the KAIST camera rate of 10 fps (BASELINE.md), one optimization
 round + one tracked frame per keyframe -> vs_baseline = value / 10.
@@ -75,22 +82,105 @@ def main():
     valid = jnp.ones(N_FEATURES, bool)
 
     # --- the window problem (one instance, tiled across the batch) ---
-    w, p, cfg, params = _tiny_problem(
-        n_nodes=N_NODES, n_landmarks=N_LANDMARKS, dtype=dtype, seed=0
-    )
+    # Build on the host CPU backend: eager setup over the TPU tunnel pays
+    # ~15-20 ms RTT per op (~2 min of setup); one device_put ships it all.
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu0 = None
+    import contextlib
+
+    setup_ctx = (jax.default_device(cpu0) if cpu0 is not None
+                 else contextlib.nullcontext())
+    with setup_ctx:
+        w, p, cfg, params = _tiny_problem(
+            n_nodes=N_NODES, n_landmarks=N_LANDMARKS, dtype=dtype, seed=0
+        )
+    dev = jax.devices()[0]
+    w, p, cfg, params = jax.device_put((w, p, cfg, params), dev)
     tile = lambda x: jnp.broadcast_to(x[None], (BATCH,) + x.shape)
     bw = jax.tree.map(tile, w)
     bp = jax.tree.map(tile, p)
 
-    # --- fused frame round: per-sequence bidirectional KLT + batched
-    # optimization, one jitted program (as a production pipeline step) ---
+    # --- fused rounds: per-sequence bidirectional KLT + batched
+    # optimization (+ detection/preint/triangulation/marginalization in the
+    # full round), one jitted program (as a production pipeline step) ---
     # per-sequence feature sets (independent sequences -> batched tracking:
     # one kernel launch over BATCH x N_FEATURES features, like the
     # batched window optimization below)
     bpts = jnp.stack([pts + 0.1 * b for b in range(BATCH)])
 
+    from ic_gvins_tpu.data import simulator as sim
+    from ic_gvins_tpu.factors.marginalization import marginalize_and_slide
+    from ic_gvins_tpu.vision.detector import corner_subpix, detect_features
+    from ic_gvins_tpu.vision.triangulation import triangulate_checked
+
+    # one inter-keyframe IMU interval (128 samples), tiled over the batch
+    with setup_ctx:
+        imu1 = sim.simulate_imu(
+            sim.car_trajectory(), sim.default_params(dtype=dtype), 5.0, 0.64,
+            200.0,
+        )
+        imu1 = jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype != bool else x, imu1
+        )
+    imu1 = jax.device_put(imu1, dev)
+    bimu = jax.tree.map(tile, imu1)
+    bstate = jax.tree.map(tile, w.nodes.index(0))
+
+    # triangulation geometry: first/last window poses + the landmark obs
+    from ic_gvins_tpu.common import rotation as rot
+
+    def tri_inputs(win):
+        q0, q1 = win.nodes.q[0], win.nodes.q[-1]
+        p0, p1 = win.nodes.p[0], win.nodes.p[-1]
+        r0 = rot.quat_to_matrix(rot.quat_mul(q0, win.ext_q))
+        r1 = rot.quat_to_matrix(rot.quat_mul(q1, win.ext_q))
+        t0 = p0 + rot.quat_rotate(q0, win.ext_p)
+        t1 = p1 + rot.quat_rotate(q1, win.ext_p)
+        L = win.n_landmarks
+        return (jnp.broadcast_to(r0, (L, 3, 3)), jnp.broadcast_to(t0, (L, 3)),
+                jnp.broadcast_to(r1, (L, 3, 3)), jnp.broadcast_to(t1, (L, 3)),
+                win.obs_uv[:, 0], win.obs_uv[:, -1])
+
+    from ic_gvins_tpu.ins.preintegration import preintegrate
+
+    def full_round_one(pts0, win, prior, imu, state0):
+        # 1. track (bidirectional Pallas KLT)
+        pts1, ok, _ = klt_pallas.lk_track_bidirectional_pallas(
+            pyr0, pyr1, pts0, pts0, valid
+        )
+        pts1 = jnp.nan_to_num(pts1)
+        # 2. replenish: grid Shi-Tomasi + subpixel refine
+        pnew, _, oknew = detect_features(pyr1[0], pts1, ok,
+                                         max_new=N_FEATURES)
+        pnew = corner_subpix(pyr1[0], pnew, oknew)
+        # 3. preintegrate the inter-keyframe IMU interval
+        pre = preintegrate(params, state0, imu)
+        # 4. triangulate the window's landmarks (two-view + gates)
+        _, invd, okt = triangulate_checked(*tri_inputs(win))
+        win = win._replace(
+            lm_invdepth=jnp.where(okt & win.lm_valid, invd, win.lm_invdepth)
+        )
+        return pts1, pnew, pre, win
+
     @jax.jit
-    def frame_round(bpts, bw, bp):
+    def full_keyframe_round(bpts, bw, bp, bimu, bstate):
+        pts1, pnew, pre, bw2 = jax.vmap(full_round_one)(
+            bpts, bw, bp, bimu, bstate
+        )
+        # 5. two-phase LM window round
+        win_out, stats = optimize_batch.__wrapped__(
+            bw2, bp, cfg, params, iters=ITERS
+        )
+        # 6. marginalize the oldest node + slide (Schur + eigen sqrt)
+        win_slid, prior_new = jax.vmap(
+            lambda wn, pn: marginalize_and_slide(wn, pn, cfg, params)
+        )(win_out, bp)
+        return pts1, pnew, pre, win_slid, prior_new, stats
+
+    @jax.jit
+    def kernel_round(bpts, bw, bp):
         out, ok, _ = jax.vmap(
             lambda p0: klt_pallas.lk_track_bidirectional_pallas(
                 pyr0, pyr1, p0, p0, valid
@@ -102,31 +192,50 @@ def main():
         )
         return pts_out, win_out, stats
 
-    t_round, (pts_out, out, (c0, c1, _)) = _time(frame_round, bpts, bw, bp)
+    t_kernel, (pts_out, out, (c0, c1, _)) = _time(kernel_round, bpts, bw, bp)
+    t_full, full_out = _time(
+        full_keyframe_round, bpts, bw, bp, bimu, bstate
+    )
+    _, _, _, win_slid, prior_new, (fc0, fc1, _) = full_out
 
     # numerics guard: only a real, bounded solve counts
     c0v, c1v = np.asarray(c0), np.asarray(c1)
     assert np.all(np.isfinite(c0v)) and np.all(np.isfinite(c1v)), (c0v, c1v)
     assert np.all(np.isfinite(np.asarray(out.nodes.p)))
     assert np.all(c1v < 1e4), c1v
+    assert np.all(np.isfinite(np.asarray(win_slid.nodes.p)))
+    assert np.all(np.isfinite(np.asarray(prior_new.H)))
+    assert np.all(np.isfinite(np.asarray(fc1))) and np.all(
+        np.asarray(fc1) < 1e4
+    ), np.asarray(fc1)
 
     import sys
 
-    print(f"# fused frame round: {t_round*1e3:.1f} ms (batch {BATCH})",
-          file=sys.stderr)
-    frames_per_s = BATCH / t_round
+    print(
+        f"# kernel round (track+optimize): {t_kernel*1e3:.1f} ms; "
+        f"FULL keyframe round (+detect/subpix/preint/triangulate/"
+        f"marginalize): {t_full*1e3:.1f} ms (batch {BATCH})",
+        file=sys.stderr,
+    )
+    frames_per_s = BATCH / t_full
+    kernel_fps = BATCH / t_kernel
     print(
         json.dumps(
             {
                 "metric": (
-                    f"frames/s/chip, full GVINS frame round: bidirectional "
-                    f"{N_FEATURES}-feature Pallas KLT + {ITERS}-iter LM window "
-                    f"round ({N_NODES} nodes x {N_LANDMARKS} landmarks), "
-                    f"batch {BATCH} sequences"
+                    f"frames/s/chip, FULL GVINS keyframe round: "
+                    f"bidirectional {N_FEATURES}-feature Pallas KLT + grid "
+                    f"detect/subpix + 128-sample preintegration + "
+                    f"triangulation + {ITERS}-iter LM window round "
+                    f"({N_NODES} nodes x {N_LANDMARKS} landmarks) + Schur "
+                    f"marginalization/slide, batch {BATCH} sequences"
                 ),
                 "value": round(frames_per_s, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(frames_per_s / REFERENCE_FPS, 3),
+                "kernel_round_fps": round(kernel_fps, 3),
+                "kernel_round_ms": round(t_kernel * 1e3, 2),
+                "full_round_ms": round(t_full * 1e3, 2),
             }
         )
     )
