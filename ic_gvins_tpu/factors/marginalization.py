@@ -32,11 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from ..data.types import IntegrationParams
-from ..solver.assembly import (
-    eval_prior,
-    huber_weight,
-    obs_mask,
-)
 from ..solver.window import EXT_DOF, NODE_DOF, Prior, Window
 
 EPS = 1e-8
@@ -48,66 +43,55 @@ def _eigh_pinv(A):
     return (v * w_inv[None, :]) @ v.T
 
 
-def _marg_system(window: Window, prior: Prior, cfg, params: IntegrationParams,
+def _marg_blocks(window: Window, prior: Prior, cfg, params: IntegrationParams,
                  include_prior: bool = True):
-    """H, g over the full layout from only the factors touching node 0."""
+    """Schur-structured blocks ``(Hxx, gx, Hxl, hll, gl)`` from only the
+    factors touching node 0 — the existing prior, the node-0 GNSS factor,
+    preintegration interval 0, and the reprojection factors anchored at
+    node 0 (the ResidualBlockInfo set of ``ic_gvins.cc:1516-1644``).
+
+    Reuses the scatter-free einsum assembly of ``solver/assembly.py``
+    (round-2 measured XLA's TPU scatter lowering at ~20x the einsum path;
+    this was 40% of the keyframe round in BENCH_r02). Parity note: the
+    reference wraps every marginalized factor with a ``nullptr`` loss —
+    the HuberLoss built at ic_gvins.cc:1591 is never passed — so no robust
+    weighting is applied here either."""
     from ..solver import assembly as asm
+    from ..solver.window import empty_prior
 
     N, L = window.n_nodes, window.n_landmarks
-    DX, D = window.dim_x, window.dim_total
-    dtype = window.nodes.p.dtype
-    H = jnp.zeros((D, D), dtype)
-    g = jnp.zeros(D, dtype)
-
-    node_cols = jnp.arange(N)[:, None] * NODE_DOF + jnp.arange(NODE_DOF)[None, :]
-    ext_cols = N * NODE_DOF + jnp.arange(6)
-    td_col = N * NODE_DOF + 6
-
-    # --- existing prior (full states, quadratic form at current estimate) ---
-    if include_prior:
-        P, grad_p, _ = eval_prior(window, prior)
-        H = H.at[:DX, :DX].add(P)
-        g = g.at[:DX].add(grad_p)
-
-    # --- preintegration interval 0 (plain or odometer-augmented) ---
-    res_fn, ddim = asm.preint_res_fn(window)
-    z0 = jnp.zeros(ddim, dtype)
-    fn = lambda d: res_fn(window, params, 0, d)
-    r0, J0 = fn(z0), jax.jacfwd(fn)(z0)
-    m0 = (window.preint_valid[0] & window.node_valid[0] & window.node_valid[1]).astype(dtype)
-    r0, J0 = r0 * m0, J0 * m0
-    cols0 = asm.preint_delta_cols(window)[0]
-    H = H.at[cols0[:, None], cols0[None, :]].add(J0.T @ J0)
-    g = g.at[cols0].add(J0.T @ r0)
-
-    # --- GNSS at node 0 ---
-    z6 = jnp.zeros(6, dtype)
-    fng = lambda d: asm._gnss_res(window, cfg, 0, d)
-    rg, Jg = fng(z6), jax.jacfwd(fng)(z6)
-    mg = (window.gnss_valid[0] & window.node_valid[0]).astype(dtype)
-    rg, Jg = rg * mg, Jg * mg
-    colsg = node_cols[0, :6]
-    H = H.at[colsg[:, None], colsg[None, :]].add(Jg.T @ Jg)
-    g = g.at[colsg].add(Jg.T @ rg)
-
-    # --- reprojection factors anchored at node 0 (Huber-weighted) ---
-    r_v, J_v = asm.eval_reproj(window, cfg)  # [L,N,2], [L,N,2,20] masked
-    anchored = (window.lm_ref == 0) & window.lm_valid
-    m_v = anchored[:, None].astype(dtype)
-    r_v, J_v = r_v * m_v[..., None], J_v * m_v[..., None, None]
-    chi_v = jnp.sum(r_v**2, axis=-1)
-    w_v = huber_weight(chi_v)
-    ref_cols = jnp.broadcast_to(node_cols[window.lm_ref][:, None, :6], (L, N, 6))
-    obs_cols = jnp.broadcast_to(node_cols[None, :, :6], (L, N, 6))
-    extb = jnp.broadcast_to(ext_cols[None, None, :], (L, N, 6))
-    tdb = jnp.broadcast_to(jnp.array([td_col]), (L, N, 1))
-    lmb = jnp.broadcast_to((DX + jnp.arange(L))[:, None, None], (L, N, 1))
-    cols_v = jnp.concatenate([ref_cols, obs_cols, extb, tdb, lmb], axis=-1)
-    H = H.at[cols_v[:, :, :, None], cols_v[:, :, None, :]].add(
-        w_v[:, :, None, None] * jnp.einsum("lkrc,lkrd->lkcd", J_v, J_v)
+    sel = asm.FactorSel(
+        preint=jnp.arange(N - 1) == 0,
+        gnss=jnp.arange(N) == 0,
+        reproj=(window.lm_ref == 0) & window.lm_valid,
     )
-    g = g.at[cols_v].add(w_v[:, :, None] * jnp.einsum("lkrc,lkr->lkc", J_v, r_v))
+    flags = asm.RobustFlags(
+        gnss_kernel=jnp.asarray(False), reproj_kernel=jnp.asarray(False)
+    )
+    if not include_prior:
+        prior = empty_prior(N, window.nodes.p.dtype)._replace(
+            lin_nodes=window.nodes, lin_ext_p=window.ext_p,
+            lin_ext_q=window.ext_q, lin_td=window.td, lin_sodo=window.sodo,
+        )
+    Hxx, gx, Hxl, hll, gl, _ = asm.assemble_blocks(
+        window, prior, cfg, params, flags,
+        sel=sel, include_soft_priors=False, gauge_fix=False,
+    )
+    return Hxx, gx, Hxl, hll, gl
 
+
+def _marg_system(window: Window, prior: Prior, cfg, params: IntegrationParams,
+                 include_prior: bool = True):
+    """Full dense (H, g) over [states | landmarks] from the node-0 factor
+    set (kept for the exact-Schur regression test; the production path
+    consumes :func:`_marg_blocks` directly)."""
+    Hxx, gx, Hxl, hll, gl = _marg_blocks(window, prior, cfg, params,
+                                         include_prior)
+    H = jnp.concatenate(
+        [jnp.concatenate([Hxx, Hxl], 1),
+         jnp.concatenate([Hxl.T, jnp.diag(hll)], 1)], 0
+    )
+    g = jnp.concatenate([gx, gl])
     return H, g
 
 
@@ -134,17 +118,16 @@ def marginalize_node0(window: Window, prior: Prior, cfg, params,
     DX, D = window.dim_x, window.dim_total
     dtype = window.nodes.p.dtype
 
-    H, g = _marg_system(window, prior, cfg, params)
+    Hxx, gx, Hxl, hll, gl = _marg_blocks(window, prior, cfg, params)
 
     # --- step 1: eliminate anchored landmarks (diagonal block) ---
     anchored = ((window.lm_ref == 0) & window.lm_valid).astype(dtype)
-    hll = jnp.diag(H)[DX:]
     hll_safe = jnp.where(anchored * hll > EPS, hll, 1.0)
     live = (anchored * hll > EPS).astype(dtype)  # anchored AND informative
-    Hxl = H[:DX, DX:] * live[None, :]
-    gl = g[DX:] * live
-    H1 = H[:DX, :DX] - (Hxl / hll_safe[None, :]) @ Hxl.T
-    g1 = g[:DX] - (Hxl / hll_safe[None, :]) @ gl
+    Hxl = Hxl * live[None, :]
+    gl = gl * live
+    H1 = Hxx - (Hxl / hll_safe[None, :]) @ Hxl.T
+    g1 = gx - (Hxl / hll_safe[None, :]) @ gl
 
     # --- step 2: eliminate node 0 (15x15 block, eigen-pinv for rank
     # safety — trivial at this size) ---

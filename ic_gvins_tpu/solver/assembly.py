@@ -47,6 +47,18 @@ class RobustFlags(NamedTuple):
     reproj_kernel: jax.Array  # () bool
 
 
+class FactorSel(NamedTuple):
+    """Optional sub-selection of factors for assembly (all-ones = every
+    factor). The marginalization path restricts assembly to the factors
+    touching node 0 (parity with the ResidualBlockInfo set wrapped at
+    ``ic_gvins.cc:1516-1644``) while reusing the same scatter-free
+    einsum assembly as the solver."""
+
+    preint: jax.Array  # [N-1] bool
+    gnss: jax.Array  # [N] bool
+    reproj: jax.Array  # [L] bool (per-landmark)
+
+
 def huber_rho(s):
     return jnp.where(s <= 1.0, s, 2.0 * jnp.sqrt(jnp.maximum(s, 1.0)) - 1.0)
 
@@ -328,6 +340,9 @@ def assemble_blocks(
     params: IntegrationParams,
     flags: RobustFlags,
     axis_name: str | None = None,
+    sel: FactorSel | None = None,
+    include_soft_priors: bool = True,
+    gauge_fix: bool = True,
 ):
     """Build the Schur-structured normal equations as blocks:
 
@@ -364,6 +379,9 @@ def assemble_blocks(
 
     # --- preintegration factors (block-tridiagonal via one-hot einsums) ---
     r_pre, J_pre = eval_preint(window, params)
+    if sel is not None:
+        m_sel = sel.preint.astype(dtype)
+        r_pre, J_pre = r_pre * m_sel[:, None], J_pre * m_sel[:, None, None]
     Ji = J_pre[..., :NODE_DOF]  # w.r.t. node i
     Jj = J_pre[..., NODE_DOF : 2 * NODE_DOF]  # w.r.t. node i+1
     Pi = jnp.eye(N, dtype=dtype)[: N - 1]  # one-hot of i
@@ -390,6 +408,9 @@ def assemble_blocks(
 
     # --- GNSS factors (Huber-weighted IRLS), diagonal pose blocks ---
     r_g, J_g = eval_gnss(window, cfg)
+    if sel is not None:
+        m_sel = sel.gnss.astype(dtype)
+        r_g, J_g = r_g * m_sel[:, None], J_g * m_sel[:, None, None]
     chi_g = jnp.sum(r_g**2, axis=-1)
     w_g = jnp.where(flags.gnss_kernel, huber_weight(chi_g), jnp.ones_like(chi_g))
     A_g = w_g[:, None, None] * jnp.einsum("frc,frd->fcd", J_g, J_g)  # [N,6,6]
@@ -404,6 +425,10 @@ def assemble_blocks(
 
     # --- reprojection factors (landmark-dim: shardable, own accumulators) ---
     r_v, J_v = eval_reproj(window, cfg)  # [L,N,2], [L,N,2,20]
+    if sel is not None:
+        m_sel = sel.reproj.astype(dtype)
+        r_v = r_v * m_sel[:, None, None]
+        J_v = J_v * m_sel[:, None, None, None]
     chi_v = jnp.sum(r_v**2, axis=-1)
     w_v = jnp.where(flags.reproj_kernel, huber_weight(chi_v), jnp.ones_like(chi_v))
     Jr = J_v[..., 0:6]  # ref-pose block
@@ -457,14 +482,15 @@ def assemble_blocks(
     cost = cost + cost_v
 
     # --- soft bias prior on the newest node (one-hot embed) ---
-    r_b, J_b, k_new = eval_bias_prior(window, cfg)
-    oh = (jnp.arange(N) == k_new).astype(dtype)
-    Hnn = Hnn + jnp.einsum("a,b,cd->acbd", oh, oh, J_b.T @ J_b)
-    g_n = g_n + oh[:, None] * (J_b.T @ r_b)
-    cost = cost + 0.5 * jnp.sum(r_b**2)
+    if include_soft_priors:
+        r_b, J_b, k_new = eval_bias_prior(window, cfg)
+        oh = (jnp.arange(N) == k_new).astype(dtype)
+        Hnn = Hnn + jnp.einsum("a,b,cd->acbd", oh, oh, J_b.T @ J_b)
+        g_n = g_n + oh[:, None] * (J_b.T @ r_b)
+        cost = cost + 0.5 * jnp.sum(r_b**2)
 
     # --- soft odometer-scale prior (sigma_sodo = 0.02, imu_error_factor.h) ---
-    if is_odo_window(window):
+    if is_odo_window(window) and include_soft_priors:
         w_s = 1.0 / cfg.sodo_prior_std**2
         Hee = Hee.at[7, 7].add(w_s)
         g_e = g_e.at[7].add(w_s * window.sodo)
@@ -487,14 +513,17 @@ def assemble_blocks(
     Hxl = jnp.concatenate([Hln.reshape(L, NL), Hle], 1).T  # [DX, L]
 
     # --- gauge fixing of unused / frozen parameters ---
-    fx = free_mask_states(window, cfg).astype(dtype)
-    fl = free_mask_lm(window).astype(dtype)
-    Hxx = Hxx * fx[:, None] * fx[None, :]
-    Hxx = Hxx + jnp.diag(jnp.where(jnp.diag(Hxx) < 1e-12, 1.0, 0.0))
-    gx = gx * fx
-    Hxl = Hxl * fx[:, None] * fl[None, :]
-    hll = jnp.where(hll * fl < 1e-12, 1.0, hll * fl)
-    gl = g_l * fl
+    if gauge_fix:
+        fx = free_mask_states(window, cfg).astype(dtype)
+        fl = free_mask_lm(window).astype(dtype)
+        Hxx = Hxx * fx[:, None] * fx[None, :]
+        Hxx = Hxx + jnp.diag(jnp.where(jnp.diag(Hxx) < 1e-12, 1.0, 0.0))
+        gx = gx * fx
+        Hxl = Hxl * fx[:, None] * fl[None, :]
+        hll = jnp.where(hll * fl < 1e-12, 1.0, hll * fl)
+        gl = g_l * fl
+    else:
+        gl = g_l
 
     return Hxx, gx, Hxl, hll, gl, cost
 
