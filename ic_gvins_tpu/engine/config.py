@@ -82,6 +82,12 @@ class EngineConfig:
     keyframe_min_interval: float = 0.08  # s (tracking.h:115)
     nearest_depth: float = 1.0  # m (mappoint.h:51-53)
     farthest_depth: float = 200.0  # m
+    # min rotation-compensated parallax (px) to triangulate a landmark
+    # (TRACK_MIN_PARALLAX, tracking.h:113, gate at tracking.cc:741-745)
+    triangulate_min_parallax: float = 10.0
+    # triangulation reprojection gate in px (isGoodToTrack scale=1.0,
+    # tracking.cc:756); None = reprojection_error_std
+    triangulate_reproj_gate_px: float | None = None
     default_depth: float = 10.0  # m
 
     # --- fixed-capacity knobs of the TPU build (static shapes) ---
@@ -99,10 +105,15 @@ class EngineConfig:
     #              current estimate (gauge fixation + continuity only)
     #   "none"   — no prior after sliding (GNSS-only anchoring)
     marg_prior_mode: str = "full"
-    # GNSS chi2 reweight: False = non-compounding capped inflation from the
-    # base std (this build's default); True = reference-parity in-place
-    # compounding (ic_gvins.cc:1275-1301). A/B: tests/test_chi2_ab.py.
-    chi2_compound: bool = False
+    # GNSS chi2 reweight: True (default) = reference-parity in-place
+    # compounding (gnss->std *= sqrt(chi2/thr), ic_gvins.cc:1275-1301).
+    # The ratchet is the point: an inflated fix STAYS inflated even when
+    # the state later drifts toward it (which shrinks its recomputed chi2).
+    # False = the round-2 non-compounding recompute from the base std; the
+    # A/B (tests/test_chi2_ab.py) measured it 4x worse under a persistent
+    # 6 m-biased fix (3.86 m vs 0.94 m RMSE): as the bad fix drags the
+    # state, the recomputed inflation RE-TIGHTENS and the drag runs away.
+    chi2_compound: bool = True
     prior_forgetting: float = 1.0  # info discount/slide in "full" mode
     # "anchor" mode stds: [pos(3), att(3)] and [vel(3), bg(3), ba(3)]
     anchor_pose_std: tuple = (0.05, 0.05, 0.05, 0.3 * D2R, 0.3 * D2R, 1.0 * D2R)

@@ -123,17 +123,16 @@ def lm_run(
 def chi2_cull(window: Window, cfg: SolverConfig, axis_name: str | None = None):
     """Between-phase chi2 gates (``ic_gvins.cc:1275-1331``).
 
-    Deviation from the reference: the reference multiplies the stored GNSS
-    std in place (``gnss->std *= scale``), which COMPOUNDS when the same
-    fix is re-culled across successive sliding-window rounds — a ratchet
-    (drift -> higher chi2 -> weaker GNSS -> more drift) that cannot
-    re-tighten if the solution recovers. Here the inflation is recomputed
-    from the BASE std each round: the steady state for a persistent
-    outlier is the same (its residual saturates at the chi2 gate,
-    |r| ~ 2.8 sigma_eff, negligible pull), but a recovered fix regains its
-    full weight. The A/B in tests/test_chi2_ab.py drove the cap choice: a
-    10x cap left 6 m-biased fixes pulling ~4 m of error; effectively
-    uncapped (1e4) matches the reference's rejection.
+    Default = the reference's in-place compounding (``gnss->std *=
+    sqrt(chi2/thr)``): the inflation RATCHETS, so a fix once flagged bad
+    stays down-weighted even when the state later drifts toward it (which
+    would shrink its recomputed chi2). The round-2 alternative — recompute
+    the inflation from the BASE std each round so a recovered fix regains
+    full weight — is kept A/B-able via ``chi2_compound=False``, but the
+    A/B (tests/test_chi2_ab.py) measured it 4x worse under a persistent
+    6 m-biased fix: re-tightening is exactly the runaway (drag toward the
+    bad fix -> lower chi2 -> more weight -> more drag). Data picked the
+    reference behavior.
     """
     # evaluate chi2 against the BASE std so the scale never compounds
     base = window._replace(gnss_std=window.gnss_std_base)

@@ -1,14 +1,16 @@
-"""A/B: GNSS chi2 reweight — non-compounding capped inflation (this
-build's default) vs the reference's in-place compounding
-(``gnssOutlierCullingByChi2``, ic_gvins.cc:1275-1301).
+"""A/B: GNSS chi2 reweight — the reference's in-place compounding
+(``gnssOutlierCullingByChi2``, ic_gvins.cc:1275-1301; this build's
+default since round 3) vs the round-2 non-compounding recompute from the
+base std.
 
 Scenario from VERDICT r1 weak #7: a sustained stretch of genuinely bad
 GNSS (constant 6 m bias with an honest-looking 5 cm std) while vision +
-INS carry the true solution. The reference compounds the std every round,
-effectively disabling the bad fixes; the capped reweight keeps pulling at
-sigma x10. The test asserts the default mode stays within a factor of the
-compounding mode (i.e. the cap does not drag the solution onto the
-corrupted fixes), and records both ATEs for the bench notes.
+INS carry the true solution. Round-2 data: compounding 0.94 m RMSE vs
+non-compounding 3.86 m — the recompute RE-TIGHTENS a bad fix as the state
+drifts toward it (lower chi2 -> more weight -> more drag), while the
+compounding ratchet remembers the fix was bad. The default follows the
+data; this test pins the ordering so a regression cannot silently flip
+it back.
 """
 
 import numpy as np
@@ -84,9 +86,12 @@ def test_chi2_capped_vs_compounding_under_bad_gnss():
           f"max={max_cap:.3f} | compounding rmse={rmse_cmp:.3f} "
           f"max={max_cmp:.3f}")
 
-    # both must survive (no divergence), and the capped default must not
-    # be dragged onto the 6 m-biased fixes: error stays far below the bias
-    assert rmse_cap < 2.0, f"capped mode dragged toward bad GNSS: {rmse_cap}"
-    assert rmse_cmp < 2.0, f"compounding mode diverged: {rmse_cmp}"
-    # the default mode stays within a factor of the reference behavior
-    assert rmse_cap < max(2.5 * rmse_cmp, 0.5), (rmse_cap, rmse_cmp)
+    # the DEFAULT (reference-parity compounding) must not be dragged onto
+    # the 6 m-biased fixes: error stays far below the bias
+    assert rmse_cmp < 2.0, f"compounding mode dragged toward bad GNSS: {rmse_cmp}"
+    # the non-default recompute mode must not catastrophically diverge
+    # (round-2 measured ~3.9 m of drag at a 7.2 m bias norm)
+    assert rmse_cap < 6.0, f"base-recompute mode diverged: {rmse_cap}"
+    # and the default must stay at least as good as the alternative —
+    # the ordering that picked it (pin against silent regressions)
+    assert rmse_cmp <= max(1.2 * rmse_cap, 0.5), (rmse_cmp, rmse_cap)
