@@ -34,7 +34,8 @@ def optimize_batch(
 
     def one(win, pr):
         out, (s1, s2, ncull) = lm_mod.optimize.__wrapped__(win, pr, cfg, params, iters=iters)
-        return out, (s1.cost0, s2.cost1, ncull)
+        return out, (s1.cost0, s2.cost1, ncull,
+                     s1.iters_run + s2.iters_run, s1.accepted + s2.accepted)
 
     return jax.vmap(one)(windows, priors)
 

@@ -73,7 +73,7 @@ def test_multi_sequence_batch_matches_sequential(mesh):
 
     batch_w = multi_seq.stack_windows(wins)
     batch_p = multi_seq.stack_priors(prs)
-    out, (c0, c1, _) = multi_seq.optimize_batch(batch_w, batch_p, cfg, params, iters=8)
+    out, (c0, c1, *_) = multi_seq.optimize_batch(batch_w, batch_p, cfg, params, iters=8)
 
     for i in range(2):
         ref, _ = lm.optimize(wins[i], prs[i], cfg, params, iters=8)
