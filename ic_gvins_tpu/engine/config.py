@@ -88,6 +88,10 @@ class EngineConfig:
     # triangulation reprojection gate in px (isGoodToTrack scale=1.0,
     # tracking.cc:756); None = reprojection_error_std
     triangulate_reproj_gate_px: float | None = None
+    # IMU dropout repair: "split" (integral-preserving slicing; default) or
+    # "repeat" (reference parity, ic_gvins.cc:191-203 — repeats the raw
+    # increment unscaled). A/B: tests/test_ingest.py::test_imu_gap_repair_ab
+    imu_gap_repair: str = "split"
     default_depth: float = 10.0  # m
 
     # --- fixed-capacity knobs of the TPU build (static shapes) ---

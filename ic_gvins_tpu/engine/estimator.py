@@ -61,6 +61,42 @@ def _bucket(n: int, step: int = 256) -> int:
     return step * max(1, -(-n // step))
 
 
+def _np_quat_mul(q1, q2):
+    """Hamilton product, numpy, broadcasting over leading axes (host-side
+    per-frame bookkeeping: device dispatch would dominate at 10-20 Hz)."""
+    w1, x1, y1, z1 = (q1[..., i] for i in range(4))
+    w2, x2, y2, z2 = (q2[..., i] for i in range(4))
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
+def _np_quat_rotate(q, v):
+    """Rotate v by unit quaternion q, numpy, broadcasting."""
+    w_, xyz = q[..., :1], q[..., 1:]
+    t2 = 2.0 * np.cross(xyz, v)
+    return v + w_ * t2 + np.cross(xyz, t2)
+
+
+def _np_quat_to_matrix(q):
+    """[...,4] unit quaternion -> [...,3,3] rotation matrix (numpy)."""
+    w, x, y, z = (q[..., i] for i in range(4))
+    r = np.empty(q.shape[:-1] + (3, 3), np.float64)
+    r[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    r[..., 0, 1] = 2 * (x * y - w * z)
+    r[..., 0, 2] = 2 * (x * z + w * y)
+    r[..., 1, 0] = 2 * (x * y + w * z)
+    r[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    r[..., 1, 2] = 2 * (y * z - w * x)
+    r[..., 2, 0] = 2 * (x * z - w * y)
+    r[..., 2, 1] = 2 * (y * z + w * x)
+    r[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return r
+
+
 # engine states (parity with GVINSState, ic_gvins.h:47-55)
 ERROR = -1
 INITIALIZING = 0
@@ -205,6 +241,7 @@ class Estimator:
 
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
+        self._np_cache: dict = {}
         m = cfg.imumodel
         self.params = IntegrationParams(
             gyr_arw=jnp.asarray(m.arw * D2R / 60.0),
@@ -318,28 +355,38 @@ class Estimator:
     def add_imu(self, t, dt, dtheta, dvel):
         nominal = 1.0 / self.cfg.imudatarate
         if self.imu.time and dt > 1.5 * nominal:
-            # Sensor dropout: restore the nominal rate by splitting the
-            # long increment into nominal-dt slices (gap repair of
-            # ``GVINS::addNewImu``, ic_gvins.cc:191-203). Deviation: the
-            # reference repeats the raw increment unscaled, over-counting
-            # the gap's rotation/velocity by ~n_fill x; splitting keeps the
-            # integrals exact while restoring the rate the preintegration
-            # noise model assumes.
+            # Sensor dropout: restore the nominal rate (gap repair of
+            # ``GVINS::addNewImu``, ic_gvins.cc:191-203). Default "split"
+            # slices the spanning increment into nominal-dt pieces so the
+            # gap's integrals stay exact; "repeat" is the reference's
+            # behavior — repeat the raw increment unscaled, over-counting
+            # the gap's rotation/velocity by ~n_fill x. A/B on a 0.25 s
+            # dropout: tests/test_ingest.py::test_imu_gap_repair_ab
+            # (split measurably tighter; deviation kept with data).
             from ..common.logging import LOGE
 
             LOGE(f"Lost IMU data at {t:.3f} dt {dt:.3f}; repairing")
             n_fill = int(round(dt / nominal)) - 1
-            frac = nominal / dt
             tj = t - dt
             dtheta = np.asarray(dtheta, np.float64)
             dvel = np.asarray(dvel, np.float64)
-            for _ in range(n_fill):
-                tj += nominal
-                self.imu.append(tj, nominal, dtheta * frac, dvel * frac)
-                self.imu_repaired += 1
-            dt_last = t - tj
-            self.imu.append(t, dt_last, dtheta * (dt_last / dt),
-                            dvel * (dt_last / dt))
+            if self.cfg.imu_gap_repair == "repeat":
+                # reference parity: each synthesized sample carries the
+                # FULL received increment at nominal dt
+                for _ in range(n_fill):
+                    tj += nominal
+                    self.imu.append(tj, nominal, dtheta, dvel)
+                    self.imu_repaired += 1
+                self.imu.append(t, t - tj, dtheta, dvel)
+            else:
+                frac = nominal / dt
+                for _ in range(n_fill):
+                    tj += nominal
+                    self.imu.append(tj, nominal, dtheta * frac, dvel * frac)
+                    self.imu_repaired += 1
+                dt_last = t - tj
+                self.imu.append(t, dt_last, dtheta * (dt_last / dt),
+                                dvel * (dt_last / dt))
         else:
             self.imu.append(t, dt, dtheta, dvel)
         self._drain_pending()
@@ -837,14 +884,18 @@ class Estimator:
                 slot = self.free_slots.pop()
                 self.lm_slot[fid] = slot
                 lm_ref[slot] = n
-                lm_valid[slot] = False  # becomes valid at 2nd observation
+                # becomes valid (factor-eligible) only on SUCCESSFUL
+                # triangulation (_init_new_depths): the reference creates
+                # mappoints only after the parallax + isGoodToTrack gates
+                # pass (tracking.cc:764-798), so a feature with unknown
+                # depth never contributes a reprojection factor (a
+                # sentinel-depth factor injects a wrong-depth residual
+                # whose transient gets GOOD GNSS chi2-culled)
+                lm_valid[slot] = False
                 lm_invd[slot] = 1.0 / 10.0  # DEFAULT_DEPTH
                 from .drawer import MAPPOINT_DEPTH_INITIALIZED
 
                 self.lm_type[slot] = MAPPOINT_DEPTH_INITIALIZED
-            else:
-                if not lm_valid[slot] and obs_valid[slot].sum() >= 1:
-                    lm_valid[slot] = True
             obs_uv[slot, n] = xy
             obs_vel[slot, n] = vxy
             obs_valid[slot, n] = True
@@ -906,19 +957,41 @@ class Estimator:
         last_kf_t = max(
             tt for tt, k in zip(self.node_times, self.node_is_kf) if k
         )
-        # mean parallax vs the latest stored observation of each landmark
-        obs_uv = np.asarray(self.window.obs_uv)
-        obs_valid = np.asarray(self.window.obs_valid)
+        # mean ROTATION-COMPENSATED parallax vs the latest stored
+        # observation of each landmark (``keyPointParallax``,
+        # tracking.cc:861-871: pc01 = R1^T R0 pc0, parallax =
+        # |pc01.xy - pc1.xy| * focal — a pure rotation yields zero
+        # parallax, so turning in place no longer triggers keyframes)
+        obs_uv = self._npw("obs_uv")
+        obs_valid = self._npw("obs_valid")
         focal = 0.5 * (self.cfg.cam.intrinsic[0] + self.cfg.cam.intrinsic[1])
-        ds = []
-        for fid, xy in zip(ids, uv):
+        idxs, slots, k_lasts = [], [], []
+        for i, fid in enumerate(ids):
             slot = self.lm_slot.get(fid)
             if slot is None or not obs_valid[slot].any():
                 continue
-            k_last = np.nonzero(obs_valid[slot])[0][-1]
-            ds.append(np.linalg.norm(xy - obs_uv[slot, k_last]) * focal)
-        self._last_parallax = float(np.mean(ds)) if ds else 0.0
-        if bool(ds) and self._last_parallax > self.cfg.track_min_parallax:
+            idxs.append(i)
+            slots.append(slot)
+            k_lasts.append(np.nonzero(obs_valid[slot])[0][-1])
+        if not idxs:
+            self._last_parallax = 0.0
+        else:
+            s_cur = self._mechanize_to(t)
+            ext_q = self._npw("ext_q")
+            q_wc1 = _np_quat_mul(np.asarray(s_cur.q), ext_q)
+            r1 = _np_quat_to_matrix(q_wc1)  # [3,3]
+            k_lasts = np.asarray(k_lasts)
+            q_nodes = self._npw("nodes.q")[k_lasts]
+            r0 = _np_quat_to_matrix(_np_quat_mul(q_nodes, ext_q[None, :]))
+            xy0 = obs_uv[np.asarray(slots), k_lasts]  # ref observations
+            h0 = np.concatenate([xy0, np.ones((len(idxs), 1))], 1)
+            # rotate the ref bearing into the current view (no projective
+            # renormalization — the reference doesn't either)
+            pc01 = np.einsum("ji,kj->ki", r1, np.einsum("kij,kj->ki", r0, h0))
+            xy1 = np.asarray(uv)[np.asarray(idxs)]
+            ds = np.linalg.norm(pc01[:, :2] - xy1, axis=-1) * focal
+            self._last_parallax = float(np.mean(ds))
+        if bool(idxs) and self._last_parallax > self.cfg.track_min_parallax:
             self._kf_kind = "normal"
             return True
         if t - last_kf_t > self.cfg.track_max_interval:
@@ -941,15 +1014,25 @@ class Estimator:
         lm_ref = np.array(w.lm_ref)
         lm_valid = np.array(w.lm_valid)
         lm_invd = np.array(w.lm_invdepth)
-        cand = [
-            l
-            for l in range(w.n_landmarks)
-            if lm_valid[l]
-            and obs_valid[l, n]
-            and abs(lm_invd[l] - 0.1) < 1e-12
-            and lm_ref[l] != n
-            and obs_valid[l, lm_ref[l]]
-        ]
+        slots_in_use = set(self.lm_slot.values())
+        cand = []
+        reanchored = False
+        for l in range(w.n_landmarks):
+            if l not in slots_in_use or not obs_valid[l, n]:
+                continue
+            if not (abs(lm_invd[l] - 0.1) < 1e-12 and lm_ref[l] != n):
+                continue
+            if not obs_valid[l, lm_ref[l]]:
+                # anchor observation slid out before triangulation
+                # succeeded: re-anchor on the current frame (the
+                # reference resets such features' reference frame,
+                # tracking.cc:726-733)
+                lm_ref[l] = n
+                reanchored = True
+                continue
+            cand.append(l)
+        if reanchored:
+            self.window = w = w._replace(lm_ref=jnp.asarray(lm_ref))
         if not cand:
             return
         n_real = len(cand)
@@ -972,15 +1055,32 @@ class Estimator:
         r1, t1 = cam_pose(np.full(len(cand), n))
         xy0 = jnp.asarray(np.asarray(w.obs_uv)[cand, refs])
         xy1 = jnp.asarray(np.asarray(w.obs_uv)[cand, n])
-        _, invd, ok = triangulate_checked(r0, t0, r1, t1, xy0, xy1, reproj_thresh=0.05)
+        # the reference's gates in normalized units (tracking.cc:741-757):
+        # >=10 px rotation-compensated parallax, reprojection error below
+        # the pixel std, depth in (NEAREST, FARTHEST*3)
+        focal = 0.5 * (self.cfg.cam.intrinsic[0] + self.cfg.cam.intrinsic[1])
+        gate_px = self.cfg.triangulate_reproj_gate_px
+        if gate_px is None:
+            gate_px = self.cfg.reprojection_error_std
+        _, invd, ok = triangulate_checked(
+            r0, t0, r1, t1, xy0, xy1,
+            reproj_thresh=gate_px / focal,
+            depth_scale=3.0,
+            min_parallax=self.cfg.triangulate_min_parallax / focal,
+        )
         invd = np.asarray(invd)
         ok = np.array(ok)  # writable copy
         ok[n_real:] = False  # padding lanes
         lm_invd[cand[ok]] = invd[ok]
+        # successful triangulation makes the landmark factor-eligible
+        # (MapPoint creation, tracking.cc:764-798)
+        lm_valid[cand[ok]] = True
         from .drawer import MAPPOINT_TRIANGULATED
 
         self.lm_type[cand[ok]] = MAPPOINT_TRIANGULATED
-        self.window = self.window._replace(lm_invdepth=jnp.asarray(lm_invd))
+        self.window = self.window._replace(
+            lm_invdepth=jnp.asarray(lm_invd), lm_valid=jnp.asarray(lm_valid)
+        )
 
     # ------------------------------------------------------------------
     # optimization + marginalization round
@@ -1486,6 +1586,77 @@ class Estimator:
         if self.state == INITIALIZING:
             return None
         return self._mechanize_to(t)
+
+    def _npw(self, name: str) -> np.ndarray:
+        """Host (numpy) mirror of a window field, cached per window object.
+
+        The per-frame paths (front-end prediction, keyframe decision) run
+        at camera rate but the window only changes at keyframe/GNSS
+        rounds; fetching device arrays every frame costs a device->host
+        transfer each (over a tunneled chip, a full RTT). Window replaces
+        create a new NamedTuple, so object identity is the invalidation
+        key."""
+        cache = self._np_cache
+        w = self.window
+        if cache.get("_id") is not w:
+            cache.clear()
+            cache["_id"] = w
+        if name not in cache:
+            val = getattr(w.nodes, name[6:]) if name.startswith("nodes.") \
+                else getattr(w, name)
+            cache[name] = np.asarray(val)
+        return cache[name]
+
+    def landmark_positions(self, ids):
+        """World positions (local frame) of the TRIANGULATED landmarks
+        among the given feature ids: ``(pw [n,3], ok [n])`` aligned with
+        ``ids``. Feeds the front-end's full-pose LK seed (the reference
+        predicts every mapped landmark via ``world2pixel(mappoint->pos(),
+        frame_cur_->pose())``, tracking.cc:367-378)."""
+        n = len(ids)
+        pw = np.zeros((n, 3), np.float64)
+        ok = np.zeros(n, bool)
+        if n == 0 or self.state == INITIALIZING:
+            return pw, ok
+        w = self.window
+        lm_valid = self._npw("lm_valid")
+        lm_invd = self._npw("lm_invdepth")
+        lm_ref = self._npw("lm_ref")
+        idxs, slots = [], []
+        for i, fid in enumerate(np.asarray(ids)):
+            s = self.lm_slot.get(int(fid))
+            if s is None or not lm_valid[s]:
+                continue
+            invd = lm_invd[s]
+            # sentinel 1/DEFAULT_DEPTH = not yet triangulated; depth gates
+            # parity isGoodDepth (tracking.cc:247, NEAREST..FARTHEST)
+            if abs(invd - 0.1) < 1e-12:
+                continue
+            if not (1.0 / self.cfg.farthest_depth < invd
+                    < 1.0 / self.cfg.nearest_depth):
+                continue
+            idxs.append(i)
+            slots.append(s)
+        if not idxs:
+            return pw, ok
+        idxs = np.asarray(idxs)
+        slots = np.asarray(slots)
+        refs = lm_ref[slots]
+        uv = self._npw("obs_uv")[slots, refs]
+        invd = lm_invd[slots]
+
+        def np_quat_rotate(q, v):
+            w_, xyz = q[..., :1], q[..., 1:]
+            t2 = 2.0 * np.cross(xyz, v)
+            return v + w_ * t2 + np.cross(xyz, t2)
+
+        pc = np.concatenate([uv, np.ones((len(slots), 1))], 1) / invd[:, None]
+        pb = np_quat_rotate(self._npw("ext_q")[None, :], pc) + self._npw("ext_p")
+        pw_sel = np_quat_rotate(self._npw("nodes.q")[refs], pb) \
+            + self._npw("nodes.p")[refs]
+        pw[idxs] = pw_sel
+        ok[idxs] = True
+        return pw, ok
 
     def trajectory(self):
         return (

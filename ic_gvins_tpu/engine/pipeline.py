@@ -53,14 +53,26 @@ class Pipeline:
         """Track the frame and feed observations to the estimator."""
         import time as _time
 
-        q_wc = None
+        q_wc = p_wc = None
         state = self.est.predicted_state(t)
         if state is not None:
-            import jax.numpy as jnp
+            # full predicted camera pose: the front-end seeds LK for mapped
+            # landmarks by full reprojection (tracking.cc:367-378) and for
+            # the rest by rotation prediction (tracking.cc:464-479).
+            # numpy math: eager device quaternion ops would each pay a
+            # dispatch at camera rate
+            from .estimator import _np_quat_mul, _np_quat_rotate
 
-            q_wc = rot.quat_mul(state.q, self.est.window.ext_q)
+            sq = np.asarray(state.q)
+            q_wc = _np_quat_mul(sq, self.est._npw("ext_q"))
+            p_wc = np.asarray(state.p) + _np_quat_rotate(
+                sq, self.est._npw("ext_p")
+            )
         t0 = _time.perf_counter()
-        ids, uv, vel = self.frontend.process(t, img, q_wc=q_wc)
+        ids, uv, vel = self.frontend.process(
+            t, img, q_wc=q_wc, p_wc=p_wc,
+            lm_lookup=self.est.landmark_positions,
+        )
         track_ms = (_time.perf_counter() - t0) * 1e3
         n_log = len(self.est.track_log)
         if self.est.state != 0 and len(ids):

@@ -187,8 +187,17 @@ def optimize_impl(
                                axis_name=axis_name)
         return window, (stats, stats, jnp.asarray(0))
 
-    it1 = max(iters // 4, 1)
-    it2 = max(iters - it1, 1)
+    # The reference's split is num/4 + 3num/4 with num=20 -> 5+15
+    # (ic_gvins.cc:1165-1166). Phase 1 must CONVERGE before the chi2 gates
+    # run — culling from an unconverged state inflates honest fixes, and
+    # with the compounding reweight the inflation is permanent — so low
+    # iteration budgets keep the reference's 5-iteration phase-1 floor;
+    # phase 2 keeps its nominal 3/4 share rather than being starved by the
+    # floor (measured: 5+3 under-converges the full-pipeline rounds at
+    # iters=8). Both loops early-exit on convergence, so the floor's
+    # nominal surplus costs nothing once warm.
+    it1 = max(iters // 4, min(5, iters))
+    it2 = max(iters - iters // 4, 1)
     flags1 = RobustFlags(
         gnss_kernel=jnp.asarray(True), reproj_kernel=jnp.asarray(True)
     )

@@ -39,11 +39,32 @@ def triangulate(
         ],
         axis=-2,
     )  # (…,4,4)
-    ata = jnp.einsum("...ki,...kj->...ij", rows, rows)
-    _, vecs = jnp.linalg.eigh(ata)
-    h = vecs[..., :, 0]  # smallest-eigenvalue eigenvector
-    w = jnp.where(jnp.abs(h[..., 3]) < 1e-12, 1e-12, h[..., 3])
-    return h[..., :3] / w[..., None]
+    # TPU deviation from the reference's 4x4 SVD null vector
+    # (tracking.cc:800-811): fix the homogeneous scale (h3 = 1, valid for
+    # any FINITE point — the depth gates reject the near-infinity case)
+    # and solve the 4x3 least squares via its 3x3 normal equations with a
+    # closed-form adjugate inverse: pure elementwise VPU arithmetic. A
+    # batched eigh here cost as much as the whole LM solve (BENCH r3).
+    B = rows[..., :3]
+    a4 = rows[..., 3]
+    M = jnp.einsum("...ki,...kj->...ij", B, B)
+    rhs = -jnp.einsum("...ki,...k->...i", B, a4)
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m11, m12, m22 = M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m12
+    c01 = m02 * m12 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c11 = m00 * m22 - m02 * m02
+    c12 = m01 * m02 - m00 * m12
+    c22 = m00 * m11 - m01 * m01
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02], -1),
+        jnp.stack([c01, c11, c12], -1),
+        jnp.stack([c02, c12, c22], -1),
+    ], -2)
+    return jnp.einsum("...ij,...j->...i", adj, rhs) / det[..., None]
 
 
 def depth_in_frame(pw, r_wc, t_wc):
@@ -55,8 +76,16 @@ def depth_in_frame(pw, r_wc, t_wc):
 def triangulate_checked(
     r_wc0, t_wc0, r_wc1, t_wc1, xy0, xy1,
     reproj_thresh: float = 0.01,
+    depth_scale: float = 3.0,
+    min_parallax: float = 0.0,
 ):
-    """Triangulate + the reference's validity gates. Returns
+    """Triangulate + the reference's validity gates
+    (``isGoodToTrack(pp, pose, pw, 1.0, 3.0)``, tracking.cc:756 + 813-829):
+    depth in (NEAREST, FARTHEST*depth_scale), reprojection error below
+    ``reproj_thresh`` (normalized plane — pass px_std/focal for the
+    reference's pixel gate), and rotation-compensated parallax at least
+    ``min_parallax`` (normalized — pass 10/focal for the reference's
+    TRACK_MIN_PARALLAX=10 px gate, tracking.cc:741-745). Returns
     (world points, inverse depth in ref frame, ok mask)."""
     pw = triangulate(r_wc0, t_wc0, r_wc1, t_wc1, xy0, xy1)
     d0 = depth_in_frame(pw, r_wc0, t_wc0)
@@ -69,10 +98,14 @@ def triangulate_checked(
     e1 = jnp.linalg.norm(pc1[..., :2] / jnp.where(jnp.abs(pc1[..., 2:]) < 1e-9, 1e-9, pc1[..., 2:]) - xy1, axis=-1)
 
     ok = (
-        (d0 > NEAREST_DEPTH) & (d0 < FARTHEST_DEPTH)
-        & (d1 > NEAREST_DEPTH) & (d1 < FARTHEST_DEPTH)
+        (d0 > NEAREST_DEPTH) & (d0 < FARTHEST_DEPTH * depth_scale)
+        & (d1 > NEAREST_DEPTH) & (d1 < FARTHEST_DEPTH * depth_scale)
         & (e0 < reproj_thresh) & (e1 < reproj_thresh)
     )
+    if min_parallax > 0.0:
+        r_c0c1 = jnp.einsum("...ji,...jk->...ik", r_wc0, r_wc1)
+        par = parallax_rotation_compensated(xy0, xy1, r_c0c1)
+        ok = ok & (par >= min_parallax)
     invdepth = 1.0 / jnp.where(ok, d0, DEFAULT_DEPTH)
     return pw, invdepth, ok
 

@@ -89,6 +89,15 @@ def test_pipeline_images_end_to_end():
         s = sim.truth_state(traj, params, jnp.asarray(t))
         errs.append(np.linalg.norm(p - np.asarray(s.p)))
     rmse = float(np.sqrt(np.mean(np.square(errs))))
-    # rendered point-sprite imagery gives ~1 px biased centers when blobs
-    # overlap; the full-stack bound is looser than the ideal-track test
-    assert rmse < 0.25, rmse
+    # Rendered point-sprite imagery gives ~1 px biased centers when blobs
+    # overlap, so the full-stack bound is looser than the ideal-track test.
+    # Round 3: the bound moved 0.25 -> 0.45 with the reference-parity
+    # compounding chi2 default: systematically biased vision pulls the
+    # state while the cull ratchet deweights honest GNSS to its chi2
+    # equilibrium (residual pinned at the gate; final inflations ~1.6-4.4x
+    # measured by tools/diag_pipeline_gates2.py) — the reference behaves
+    # identically by construction (ic_gvins.cc:1286-1295). The
+    # non-compounding mode scores ~0.22 here but loses 4x on the
+    # persistent-bad-GNSS A/B (tests/test_chi2_ab.py) and failed the
+    # outage soak; defaults follow the severe scenarios (BENCH_NOTES r3).
+    assert rmse < 0.45, rmse

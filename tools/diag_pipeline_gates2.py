@@ -13,7 +13,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_variant(name, raw_parallax, no_fullpose_seed, chi2_compound):
+def run_variant(name, raw_parallax, no_fullpose_seed, chi2_compound,
+                reproj_std=1.5):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -34,6 +35,7 @@ def run_variant(name, raw_parallax, no_fullpose_seed, chi2_compound):
         optimize_windows_size=6, track_max_features=60,
         track_min_parallax=12.0, antlever=(0.0, 0.0, 0.0),
         chi2_compound=chi2_compound,
+        reprojection_error_std=reproj_std,
         cam=CameraConfig(
             intrinsic=INTR, distortion=(0.0, 0.0, 0.0, 0.0), resolution=RES,
             q_b_c=tuple(np.asarray(ext_q)), t_b_c=(0.0, 0.0, 0.0),
@@ -119,8 +121,21 @@ def run_variant(name, raw_parallax, no_fullpose_seed, chi2_compound):
         for t, p in zip(times, ps) if t >= 4.0
     ]
     rmse = float(np.sqrt(np.mean(np.square(errs)))) if errs else None
+    # binned errors over the run (1 s bins) + final GNSS inflation state
+    rows = [(t, float(np.linalg.norm(
+        p - np.asarray(sim.truth_state(traj, params, jnp.asarray(t)).p))))
+        for t, p in zip(times, ps)]
+    bins = {}
+    for t, e in rows:
+        bins.setdefault(int(t), []).append(e)
+    binned = {k: round(max(v), 3) for k, v in sorted(bins.items())}
+    w = est.window
+    gs, gb = np.asarray(w.gnss_std), np.asarray(w.gnss_std_base)
+    gv = np.asarray(w.gnss_valid)
+    infl = [round(float(gs[i].mean() / max(gb[i].mean(), 1e-9)), 1)
+            for i in range(len(gv)) if gv[i]]
     return dict(variant=name, rmse=round(rmse, 4), n_keyframes=est.n_keyframes,
-                n_lm=len(est.lm_slot))
+                n_lm=len(est.lm_slot), binned_max=binned, gnss_inflation=infl)
 
 
 def main():
@@ -150,6 +165,8 @@ def main():
         noseed=("no full-pose LK seed", False, True, True),
         oldchi2=("chi2 non-compounding (r2 default)", False, False, False),
         r2all=("all three reverted", True, True, False),
+        honest2=("compound + reproj_std 2.5px", False, False, True, 2.5),
+        honest3=("compound + reproj_std 3.5px", False, False, True, 3.5),
     )
     sel = variants if args.variant == "all" else {
         args.variant: variants[args.variant]}
@@ -159,3 +176,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+# appended variants: honest vision-noise spec under the compounding default
