@@ -49,7 +49,7 @@ def _time(fn, *args, reps=5):
     return (time.perf_counter() - t0) / reps, out
 
 
-def _live_pipeline_fps(duration=12.0, frame_rate=10.0, warmup_frames=30):
+def _live_pipeline_fps(duration=8.0, frame_rate=10.0, warmup_frames=20):
     """Drive the REAL Pipeline (front-end + estimator, all host bookkeeping)
     over rendered sprite frames; report the steady-state add_image rate.
     Note: on a tunneled chip every device dispatch pays the tunnel RTT, so

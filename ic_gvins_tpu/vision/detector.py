@@ -52,20 +52,33 @@ def shi_tomasi_response(img: jax.Array) -> jax.Array:
     return 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
 
 
-def occupancy_mask(shape, pts, valid, radius=MASK_RADIUS):
+def occupancy_mask(shape, pts, valid, radius=MASK_RADIUS, chunk=32):
     """False within `radius` px of any valid existing feature
-    (the detection mask of ``tracking.cc:600-626``)."""
-    h, w = shape
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    (the detection mask of ``tracking.cc:600-626``).
 
-    def near(carry, i):
-        m = carry
-        d2 = (ys - pts[i, 1]) ** 2 + (xs - pts[i, 0]) ** 2
-        hit = (d2 < radius * radius) & valid[i]
+    Features are processed ``chunk`` at a time: one [chunk, h, w] distance
+    field reduced over the chunk axis per scan step (a per-feature scan
+    serializes F full-image passes — measured as the dominant cost of the
+    detect stage; chunking recovers the VPU parallelism at bounded
+    memory, chunk*h*w*4 ~ 10 MB)."""
+    h, w = shape
+    F = pts.shape[0]
+    pad = (-F) % chunk
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+    valid_p = jnp.pad(valid, (0, pad))
+    px = pts_p[:, 0].reshape(-1, chunk)
+    py = pts_p[:, 1].reshape(-1, chunk)
+    vd = valid_p.reshape(-1, chunk)
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+
+    def near(m, args):
+        cx, cy, cv = args
+        d2 = (ys - cy[:, None, None]) ** 2 + (xs - cx[:, None, None]) ** 2
+        hit = jnp.any((d2 < radius * radius) & cv[:, None, None], axis=0)
         return m | hit, None
 
-    occ, _ = jax.lax.scan(near, jnp.zeros((h, w), bool), jnp.arange(pts.shape[0]))
+    occ, _ = jax.lax.scan(near, jnp.zeros((h, w), bool), (px, py, vd))
     return ~occ
 
 
@@ -113,6 +126,9 @@ def detect_features(
     return pts[take], score[take], ok[take]
 
 
+_SUBPIX_PATCH = 32  # per-point working patch (covers window + drift + taps)
+
+
 @partial(jax.jit, static_argnames=("win", "max_iters"))
 def corner_subpix(
     img: jax.Array,
@@ -130,51 +146,83 @@ def corner_subpix(
     tensor of a (2*win+1)^2 window until the update is below eps. Points
     whose refinement diverges beyond the window revert to their input.
     Returns refined pts [N, 2].
+
+    TPU structure: each point extracts ONE 32x32 patch up front
+    (vmapped dynamic_slice); every iteration then samples its window from
+    the patch with the rigid-window bilinear trick — the whole 13x13 tap
+    grid shares one fractional offset, so the sample is an integer-origin
+    dynamic_slice blended across its four +-1 shifts. No per-element image
+    gathers anywhere (the previous per-iteration bilinear gathers made
+    this stage slower than the LK kernel itself, BENCH_r02).
     """
     imgf = img.astype(jnp.float32)
-    size = 2 * win + 1
+    h, w = imgf.shape
+    P = _SUBPIX_PATCH
+    size = 2 * win + 1  # 11
+    taps = size + 2  # 13: window plus the +-1 gradient taps
     # Gaussian window weights, exp(-(i/win)^2 - (j/win)^2)
     r = (jnp.arange(size, dtype=jnp.float32) - win) / win
     wts = jnp.exp(-r * r)[:, None] * jnp.exp(-r * r)[None, :]
-    off = jnp.arange(-win - 1, win + 2, dtype=jnp.float32)  # size + 2
     px = (jnp.arange(size, dtype=jnp.float32) - win)[None, :]
     py = (jnp.arange(size, dtype=jnp.float32) - win)[:, None]
 
-    def refine(pt0):
+    pts32 = pts.astype(jnp.float32)
+    base = jnp.clip(
+        jnp.round(pts32).astype(jnp.int32) - P // 2,
+        0, jnp.array([w - P, h - P], jnp.int32),
+    )  # [N,2] (x, y) patch origins
+
+    def extract(b):
+        return jax.lax.dynamic_slice(imgf, (b[1], b[0]), (P, P))
+
+    patches = jax.vmap(extract)(base)  # [N,P,P]
+
+    def refine(pt0_abs, b, patch):
+        pt0 = pt0_abs - b.astype(jnp.float32)  # patch-local
+
         def step(carry):
             i, pt, _ = carry
-            patch = _det_bilinear(imgf, pt[1] + off[:, None], pt[0] + off[None, :])
-            gx = patch[1:-1, 2:] - patch[1:-1, :-2]
-            gy = patch[2:, 1:-1] - patch[:-2, 1:-1]
+            # window origin (tap [-win-1, -win-1]) in patch coords
+            org = pt - (win + 1)
+            oi = jnp.clip(jnp.floor(org).astype(jnp.int32), 0, P - taps - 1)
+            a = org - oi.astype(jnp.float32)
+            blk = jax.lax.dynamic_slice(patch, (oi[1], oi[0]),
+                                        (taps + 1, taps + 1))
+            s = (
+                blk[:taps, :taps] * (1 - a[1]) * (1 - a[0])
+                + blk[:taps, 1:] * (1 - a[1]) * a[0]
+                + blk[1:, :taps] * a[1] * (1 - a[0])
+                + blk[1:, 1:] * a[1] * a[0]
+            )  # [taps, taps] bilinear window at pt
+            gx = s[1:-1, 2:] - s[1:-1, :-2]
+            gy = s[2:, 1:-1] - s[:-2, 1:-1]
             gxx = gx * gx * wts
             gxy = gx * gy * wts
             gyy = gy * gy * wts
-            a = jnp.sum(gxx)
-            b = jnp.sum(gxy)
-            c = jnp.sum(gyy)
+            aa = jnp.sum(gxx)
+            bb = jnp.sum(gxy)
+            cc = jnp.sum(gyy)
             bb1 = jnp.sum(gxx * px + gxy * py)
             bb2 = jnp.sum(gxy * px + gyy * py)
-            det = a * c - b * b
+            det = aa * cc - bb * bb
             ok = jnp.abs(det) > 1e-12
             scale = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            d = jnp.array([c * bb1 - b * bb2, a * bb2 - b * bb1]) * scale
+            d = jnp.array([cc * bb1 - bb * bb2, aa * bb2 - bb * bb1]) * scale
             err = jnp.sum(d * d)
             return i + 1, pt + d, jnp.where(ok, err, 0.0)
 
         def cond(carry):
             i, pt, err = carry
-            h, w = imgf.shape
-            inb = (pt[0] >= 0) & (pt[0] < w) & (pt[1] >= 0) & (pt[1] < h)
+            inb = (pt[0] >= 0) & (pt[0] < P) & (pt[1] >= 0) & (pt[1] < P)
             return (i < max_iters) & (err > eps * eps) & inb
 
         _, pt, _ = jax.lax.while_loop(cond, step, (0, pt0, jnp.inf))
         # revert points that drifted out of the search window
         drift = jnp.abs(pt - pt0)
         bad = (drift[0] > win + 1) | (drift[1] > win + 1)
-        return jnp.where(bad, pt0, pt)
+        return jnp.where(bad, pt0, pt) + b.astype(jnp.float32)
 
-    pts32 = pts.astype(jnp.float32)
-    out = jax.vmap(refine)(pts32)
+    out = jax.vmap(refine)(pts32, base, patches)
     return jnp.where(valid[:, None], out, pts32)
 
 

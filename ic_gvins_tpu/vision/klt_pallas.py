@@ -281,9 +281,18 @@ def _track_level_pallas(img0, img1, pts4, interpret=False):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lk_track_pallas(pyr0, pyr1, pts0, pts1_init, valid, interpret=False):
     """Pyramidal LK over all levels; same contract as ``klt.lk_track``.
-    One jitted program: all levels (Pallas + small-level fallbacks) fuse
-    into a single dispatch."""
+    One jitted program: all levels fuse into a single dispatch.
+
+    Every level is padded (edge replication) to the LEVEL-0 shape before
+    the kernel call: the kernel's per-feature DMA window is a fixed
+    (RROWS, RCOLS) footprint independent of image size, so same-shape
+    inputs make all ``levels x directions`` pallas_calls byte-identical —
+    ONE Mosaic kernel compile instead of one per level per direction
+    (the round-2 bench measured 615 s of compile for the tracking stage;
+    the pad itself is a ~300 KB copy per level, noise)."""
     levels = len(pyr0)
+    h0, w0 = pyr0[0].shape
+    ph0, pw0 = max(RROWS - h0, 0), max(RCOLS - w0, 0)
     pts0 = pts0.astype(jnp.float32)
     pts1 = pts1_init.astype(jnp.float32) / (2.0 ** (levels - 1))
     ok = valid
@@ -293,13 +302,11 @@ def lk_track_pallas(pyr0, pyr1, pts0, pts1_init, valid, interpret=False):
             pts1 = pts1 * 2.0
         pts4 = jnp.concatenate([pts0 / s, pts1], axis=1)
         h, w = pyr0[lv].shape
-        # pad small (coarse) levels up to the kernel footprint with edge
-        # replication so every level runs the Pallas path — the gather-based
-        # fallback is ~100x slower on TPU
-        if h < RROWS or w < RCOLS:
-            ph, pw = max(RROWS - h, 0), max(RCOLS - w, 0)
-            i0 = jnp.pad(pyr0[lv], ((0, ph), (0, pw)), mode="edge")
-            i1 = jnp.pad(pyr1[lv], ((0, ph), (0, pw)), mode="edge")
+        if (h, w) != (h0 + ph0, w0 + pw0):
+            i0 = jnp.pad(pyr0[lv], ((0, h0 + ph0 - h), (0, w0 + pw0 - w)),
+                         mode="edge")
+            i1 = jnp.pad(pyr1[lv], ((0, h0 + ph0 - h), (0, w0 + pw0 - w)),
+                         mode="edge")
         else:
             i0, i1 = pyr0[lv], pyr1[lv]
         pts1_new, ok_lv = _track_level_pallas(i0, i1, pts4, interpret=interpret)
