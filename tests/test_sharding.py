@@ -147,3 +147,46 @@ def test_engine_rounds_with_mesh_match_single_device(mesh):
     t_s, p_s, _ = est_sh.trajectory()
     assert len(t_r) == len(t_s)
     np.testing.assert_allclose(p_s, p_r, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_cull_decisions_stay_identical_over_many_rounds(mesh):
+    """VERDICT r2 #9: a single divergent chi2 cull between the sharded and
+    single-device paths would compound silently over a long run. Feed the
+    SAME window through >=50 consecutive two-phase rounds on both paths
+    (re-perturbing each round so culling keeps firing) and assert the cull
+    masks stay identical and the GNSS inflations stay numerically equal."""
+    from ic_gvins_tpu.parallel import lm_sharded
+
+    win, truth, params, traj, lms, invd_truth = build_gvins_window(
+        n_nodes=5, n_landmarks=16, seed=91
+    )
+    cfg = default_cfg()
+    pose_std, mix_std = std_priors()
+    prior = make_init_prior(win, pose_std, mix_std)
+
+    n_cull_rounds = 0
+    for r in range(50):
+        # fresh perturbation each trial: 50 independent points on the cull
+        # decision surface (feeding culled state forward would empty the
+        # masks and make later rounds vacuous)
+        key = jax.random.PRNGKey(1000 + r)
+        w0 = perturb_window(win, 5, key, dp=0.05 + 0.01 * (r % 5),
+                            dth=0.003, dv=0.02)
+        w_ref, (_, _, nc_r) = lm.optimize(w0, prior, cfg, params,
+                                          iters=6, do_cull=True)
+        w_sh, (_, _, nc_s) = lm_sharded.optimize_sharded(
+            w0, prior, cfg, params, mesh, iters=6, do_cull=True
+        )
+        assert int(nc_r) == int(nc_s), (r, int(nc_r), int(nc_s))
+        np.testing.assert_array_equal(
+            np.asarray(w_sh.obs_valid), np.asarray(w_ref.obs_valid),
+            err_msg=f"cull masks diverged at round {r}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(w_sh.gnss_std), np.asarray(w_ref.gnss_std),
+            rtol=1e-9, atol=0, err_msg=f"GNSS inflation diverged at round {r}",
+        )
+        n_cull_rounds += int(int(nc_r) > 0)
+    # the scenario must actually exercise culling, else the test is vacuous
+    assert n_cull_rounds >= 3, n_cull_rounds
