@@ -149,10 +149,16 @@ def test_histogram_gate_wiring_and_skip():
 
 def test_imu_gap_repair_ab():
     """VERDICT r2 #8: quantify the split-fill deviation vs the reference's
-    repeat-unscaled fill (ic_gvins.cc:191-203) on the same dropout. The
-    split fill preserves the gap's rotation/velocity integrals; the repeat
-    fill over-counts them ~n_fill x. Keep "split" the default only while
-    the data backs it."""
+    repeat-unscaled fill (ic_gvins.cc:191-203) on the same dropout.
+
+    The driver computes increments as rate x (time since last received
+    sample) (fusion_ros.cc:145-150), so the post-gap sample SPANS the
+    whole gap; the reference then pushes n_fill unscaled copies of that
+    spanning increment — over-counting the gap's rotation/velocity
+    (incl. the gravity reaction) ~n_fill x. Survivable for its 1-2-sample
+    target case; on a 0.25 s dropout (~50 copies) it diverges by meters —
+    measured here. The split fill preserves the gap's integrals and stays
+    at the noise floor; that data keeps it the default."""
     kw = dict(duration=15.0, with_vision=False, imu_gap=(7.0, 7.25), seed=1)
     est_s, traj, params = run_sequence(small_cfg(imu_gap_repair="split"), **kw)
     est_r, _, _ = run_sequence(small_cfg(imu_gap_repair="repeat"), **kw)
@@ -161,7 +167,8 @@ def test_imu_gap_repair_ab():
     rmse_r, max_r = ate(est_r, traj, params, t_min=5.0)
     print(f"gap-repair A/B (0.25 s dropout): split rmse={rmse_s:.3f} "
           f"max={max_s:.3f} | repeat rmse={rmse_r:.3f} max={max_r:.3f}")
-    # the default must not be worse than the reference behavior
+    # the split default rides out the dropout at the noise floor, and is
+    # at least as good as the reference's repeat fill (which over-counts)
+    assert rmse_s < 0.5, (rmse_s, max_s)
     assert rmse_s <= 1.1 * rmse_r + 0.02, (rmse_s, rmse_r)
-    # both must survive the dropout
-    assert rmse_s < 0.5 and rmse_r < 2.0, (rmse_s, rmse_r)
+    assert np.isfinite(rmse_r), rmse_r

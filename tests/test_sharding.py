@@ -169,10 +169,18 @@ def test_sharded_cull_decisions_stay_identical_over_many_rounds(mesh):
     for r in range(50):
         # fresh perturbation each trial: 50 independent points on the cull
         # decision surface (feeding culled state forward would empty the
-        # masks and make later rounds vacuous)
+        # masks and make later rounds vacuous). Gross outliers injected
+        # into a rotating subset of observations + one GNSS fix so the
+        # chi2 gates actually fire.
         key = jax.random.PRNGKey(1000 + r)
         w0 = perturb_window(win, 5, key, dp=0.05 + 0.01 * (r % 5),
                             dth=0.003, dv=0.02)
+        l_bad = r % w0.n_landmarks
+        k_bad = r % (w0.n_nodes - 1) + 1
+        w0 = w0._replace(
+            obs_uv=w0.obs_uv.at[l_bad, :, 0].add(0.03 + 0.002 * (r % 7)),
+            gnss_p=w0.gnss_p.at[k_bad, 1].add(0.8 + 0.05 * (r % 5)),
+        )
         w_ref, (_, _, nc_r) = lm.optimize(w0, prior, cfg, params,
                                           iters=6, do_cull=True)
         w_sh, (_, _, nc_s) = lm_sharded.optimize_sharded(
