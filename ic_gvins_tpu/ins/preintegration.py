@@ -83,7 +83,7 @@ def preintegrate(
     corr_time = params.corr_time
 
     def step(carry, x):
-        (p, v, q, dp, dv, dq, J, P, sum_dt_pn, t_acc, prev) = carry
+        (p, v, q, dp, dv, dq, sum_dt_pn, t_acc, prev) = carry
         dt = x.dt
         dth_cur, dv_cur = compensate_bias(x.dtheta, x.dvel, dt, state0.bg, state0.ba)
         dth_pre, dv_pre = prev
@@ -121,6 +121,10 @@ def preintegrate(
             rot.quat_mul(rot.quat_inv(q0), rot.quat_mul(qend, rot.quat_mul(q0, dq_new)))
         )
 
+        # Per-step transition + noise emitted as scan OUTPUTS; the 15x15
+        # propagation itself happens in a log-depth pairwise reduction
+        # after the scan (see below) — the sequential scan keeps only the
+        # cheap small-vector state work.
         phi = jnp.zeros((15, 15), dtype)
         phi = phi.at[0:3, 0:3].set(eye3)
         phi = phi.at[0:3, 3:6].set(eye3 * dt)
@@ -132,8 +136,6 @@ def preintegrate(
         phi = phi.at[9:12, 9:12].set(eye3 * (1.0 - dt / corr_time))
         phi = phi.at[12:15, 12:15].set(eye3 * (1.0 - dt / corr_time))
 
-        J_new = phi @ J
-
         gt = jnp.zeros((15, 12), dtype)
         gt = gt.at[3:6, 3:6].set(cbb0)
         gt = gt.at[6:9, 0:3].set(-eye3)
@@ -142,23 +144,47 @@ def preintegrate(
 
         gng = gt @ noise @ gt.T
         qk = 0.5 * dt * (phi @ gng + gng @ phi.T)
-        P_new = phi @ P @ phi.T + qk
 
         carry_new = (
             p_new, v_new, q_new, dp_new, dv_new, dq_new,
-            J_new, P_new, sum_dt_pn_new, t_new, (dth_cur, dv_cur),
+            sum_dt_pn_new, t_new, (dth_cur, dv_cur),
         )
-        return carry_new, None
+        return carry_new, (phi, qk)
 
     init = (
         state0.p, state0.v, state0.q,
         jnp.zeros(3, dtype), jnp.zeros(3, dtype), rot.quat_identity(dtype),
-        jnp.eye(15, dtype=dtype), jnp.zeros((15, 15), dtype),
         jnp.zeros(3, dtype), jnp.zeros((), dtype),
         compensate_bias(imu.dtheta[0], imu.dvel[0], imu.dt[0], state0.bg, state0.ba),
     )
     rest = ImuSeq(imu.time[1:], imu.dt[1:], imu.dtheta[1:], imu.dvel[1:])
-    (p, v, q, dp, dv, dq, J, P, sum_dt_pn, t_acc, _), _ = jax.lax.scan(step, init, rest)
+    (p, v, q, dp, dv, dq, sum_dt_pn, t_acc, _), (phis, qks) = jax.lax.scan(
+        step, init, rest
+    )
+
+    # --- Jacobian & covariance via log-depth pairwise composition ---
+    # The per-step recursions J_{k+1} = phi_k J_k and
+    # P_{k+1} = phi_k P_k phi_k^T + qk_k compose associatively:
+    # (phi_a, Q_a) then (phi_b, Q_b)  ==  (phi_b phi_a,
+    # phi_b Q_a phi_b^T + Q_b). A 128-step sequential scan of 15x15
+    # matmuls is latency-bound on TPU; log2(n) rounds of BATCHED matmuls
+    # run on the MXU instead. Zero-padded steps emit (I, 0) — the
+    # composition identity — so static-shape padding stays a no-op.
+    n_steps = phis.shape[0]
+    n_pow2 = 1 << (n_steps - 1).bit_length() if n_steps > 1 else 1
+    if n_pow2 != n_steps:
+        pad = n_pow2 - n_steps
+        phis = jnp.concatenate(
+            [phis, jnp.tile(jnp.eye(15, dtype=dtype), (pad, 1, 1))], 0
+        )
+        qks = jnp.concatenate([qks, jnp.zeros((pad, 15, 15), dtype)], 0)
+    while phis.shape[0] > 1:
+        pa, pb = phis[0::2], phis[1::2]
+        qa, qb = qks[0::2], qks[1::2]
+        phis = jnp.einsum("nij,njk->nik", pb, pa)
+        qks = jnp.einsum("nij,njk,nlk->nil", pb, qa, pb) + qb
+    J = phis[0]
+    P = qks[0]
 
     end_state = NavState(
         time=state0.time + t_acc, p=p, q=q, v=v, bg=state0.bg, ba=state0.ba
@@ -244,3 +270,103 @@ def preint_residual(
     if whiten:
         r = sqrt_information(preint.cov) @ r
     return r
+
+
+def _so3_right_jacobian(phi: jax.Array) -> jax.Array:
+    """SO(3) right Jacobian Jr(phi): exp(phi + d) = exp(phi) exp(Jr d)."""
+    th2 = jnp.sum(phi * phi)
+    th = jnp.sqrt(jnp.maximum(th2, 1e-30))
+    K = rot.skew(phi)
+    small = th2 < 1e-12
+    a = jnp.where(small, 0.5, (1.0 - jnp.cos(th)) / jnp.maximum(th2, 1e-30))
+    b = jnp.where(
+        small, 1.0 / 6.0, (th - jnp.sin(th)) / jnp.maximum(th2 * th, 1e-30)
+    )
+    return jnp.eye(3, dtype=phi.dtype) - a * K + b * (K @ K)
+
+
+def preint_residual_jac(
+    preint: PreintData,
+    state0: NavState,
+    state1: NavState,
+    params: IntegrationParams,
+):
+    """UNWHITENED residual + ANALYTIC 15x30 Jacobian w.r.t. the boxplus
+    deltas [node0 (dp,dtheta,dv,dbg,dba) | node1 (...)] — the reference's
+    closed-form factor Jacobians (``preintegration_normal.cc:73-142``,
+    ``preintegration_earth.cc:92-200``) rederived for this build's
+    right-multiplicative manifold, replacing a 31-tangent jacfwd per
+    interval per LM iteration. Exact to first order (includes the SO(3)
+    right Jacobian of the bias-correction exp that the reference
+    linearizes away); validated against jacfwd in
+    ``tests/test_preintegration.py``."""
+    dtype = state0.p.dtype
+    iewn = params.iewn.astype(dtype)
+    gravity = params.gravity.astype(dtype)
+    W = rot.skew(iewn)
+    T = preint.dt
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    dbg = state0.bg - preint.bg_ref
+    dba = state0.ba - preint.ba_ref
+    Jp_bg = preint.jac[0:3, 9:12]
+    Jp_ba = preint.jac[0:3, 12:15]
+    Jv_bg = preint.jac[3:6, 9:12]
+    Jv_ba = preint.jac[3:6, 12:15]
+    Jq_bg = preint.jac[6:9, 9:12]
+
+    corrected_p = preint.dp + Jp_bg @ dbg + Jp_ba @ dba
+    corrected_v = preint.dv + Jv_bg @ dbg + Jv_ba @ dba
+    phi_bg = Jq_bg @ dbg
+    corrected_q = rot.quat_mul(preint.dq, rot.rotvec_to_quat(phi_bg))
+
+    p_cor = 2.0 * W @ (preint.sum_dt_pn - T * state0.p)
+    v_cor = 2.0 * W @ (state1.p - state0.p)
+    qnn = rot.rotvec_to_quat(-iewn * T)
+
+    dpn = state1.p - state0.p - state0.v * T - 0.5 * gravity * T * T + p_cor
+    dvn = state1.v - state0.v - gravity * T + v_cor
+
+    C0 = rot.quat_to_matrix(rot.quat_inv(state0.q))
+    A = rot.quat_mul(rot.quat_inv(state1.q), rot.quat_mul(qnn, state0.q))
+    M = rot.quat_mul(A, corrected_q)
+
+    r = jnp.concatenate([
+        C0 @ dpn - corrected_p,
+        C0 @ dvn - corrected_v,
+        2.0 * M[1:],
+        state1.bg - state0.bg,
+        state1.ba - state0.ba,
+    ])
+
+    LA_RB = (rot.quat_left(A) @ rot.quat_right(corrected_q))[1:, 1:]
+    LM = rot.quat_left(M)[1:, 1:]
+    RM = rot.quat_right(M)[1:, 1:]
+    Jr = _so3_right_jacobian(phi_bg)
+
+    J = jnp.zeros((15, 30), dtype)
+    # r_p rows
+    J = J.at[0:3, 0:3].set(-C0 - 2.0 * T * (C0 @ W))
+    J = J.at[0:3, 3:6].set(rot.skew(C0 @ dpn))
+    J = J.at[0:3, 6:9].set(-T * C0)
+    J = J.at[0:3, 9:12].set(-Jp_bg)
+    J = J.at[0:3, 12:15].set(-Jp_ba)
+    J = J.at[0:3, 15:18].set(C0)
+    # r_v rows
+    J = J.at[3:6, 0:3].set(-2.0 * (C0 @ W))
+    J = J.at[3:6, 3:6].set(rot.skew(C0 @ dvn))
+    J = J.at[3:6, 6:9].set(-C0)
+    J = J.at[3:6, 9:12].set(-Jv_bg)
+    J = J.at[3:6, 12:15].set(-Jv_ba)
+    J = J.at[3:6, 15:18].set(2.0 * (C0 @ W))
+    J = J.at[3:6, 21:24].set(C0)
+    # r_q rows
+    J = J.at[6:9, 3:6].set(LA_RB)
+    J = J.at[6:9, 9:12].set(LM @ Jr @ Jq_bg)
+    J = J.at[6:9, 18:21].set(-RM)
+    # bias rows
+    J = J.at[9:12, 9:12].set(-eye3)
+    J = J.at[9:12, 24:27].set(eye3)
+    J = J.at[12:15, 12:15].set(-eye3)
+    J = J.at[12:15, 27:30].set(eye3)
+    return r, J

@@ -81,26 +81,35 @@ def _preint_i(window: Window, i):
 
 
 def _preint_res(window: Window, params: IntegrationParams, i, delta30):
+    """UNWHITENED residual as a function of the local delta. The sqrt-info
+    whitening is applied OUTSIDE the differentiated function (the [15,15]
+    inv+cholesky of ``sqrt_information`` depends only on the preintegration
+    covariance — constant over the whole LM solve — yet used to re-run in
+    the primal of every residual eval, jacfwd, and cost probe: ~3x per
+    iteration per interval of sequential TPU linear algebra)."""
     s0 = node_boxplus(_node(window, i), delta30[:NODE_DOF])
     s1 = node_boxplus(_node(window, i + 1), delta30[NODE_DOF:])
     pre = _preint_i(window, i)
-    r = preint_residual(pre, s0, s1, params, whiten=False)
-    sqrt_info = sqrt_information(pre.cov)
-    return sqrt_info @ r
+    return preint_residual(pre, s0, s1, params, whiten=False)
 
 
 def _preint_res_odo(window: Window, params: IntegrationParams, i, delta31):
-    """Odometer-augmented variant: 19-dim residual over
-    [node i (15) | node i+1 (15) | sodo (1)]. The window-global sodo enters
-    both ends, so the reference's random-walk row (sodo1 - sodo0) is
-    identically zero — the scale link across intervals is the shared state
-    itself."""
+    """Odometer-augmented variant (unwhitened, see ``_preint_res``):
+    19-dim residual over [node i (15) | node i+1 (15) | sodo (1)]. The
+    window-global sodo enters both ends, so the reference's random-walk
+    row (sodo1 - sodo0) is identically zero — the scale link across
+    intervals is the shared state itself."""
     s0 = node_boxplus(_node(window, i), delta31[:NODE_DOF])
     s1 = node_boxplus(_node(window, i + 1), delta31[NODE_DOF : 2 * NODE_DOF])
     sodo = window.sodo + delta31[2 * NODE_DOF]
     pre = _preint_i(window, i)
-    r = preint_odo_residual(pre, s0, sodo, s1, sodo, params, whiten=False)
-    return sqrt_information(pre.cov) @ r
+    return preint_odo_residual(pre, s0, sodo, s1, sodo, params, whiten=False)
+
+
+def preint_sqrt_info(window: Window) -> jax.Array:
+    """[N-1, R, R] whitening matrices for all intervals (vectorized once;
+    see ``_preint_res`` for why this lives outside the residual fn)."""
+    return sqrt_information(window.preint.cov)
 
 
 def preint_res_fn(window: Window):
@@ -194,18 +203,36 @@ def newest_node_index(window: Window):
 
 
 def eval_preint(window: Window, params: IntegrationParams):
-    """Residuals [N-1,R] and Jacobians [N-1,R,C], masked
-    (R,C = 15,30 plain / 19,31 odometer-augmented)."""
+    """WHITENED residuals [N-1,R] and Jacobians [N-1,R,C], masked
+    (R,C = 15,30 plain / 19,31 odometer-augmented). Whitening is one
+    batched matmul after the raw evals. The plain variant uses the
+    ANALYTIC factor Jacobians (``ins/preintegration.py::
+    preint_residual_jac``, reference preintegration_normal.cc:73-142);
+    the odometer variant keeps jacfwd."""
+    from ..ins.preintegration import preint_residual_jac
+
     N = window.n_nodes
     idx = jnp.arange(N - 1)
-    res_fn, dim = preint_res_fn(window)
-    z = jnp.zeros(dim, window.nodes.p.dtype)
+    if is_odo_window(window):
+        res_fn, dim = preint_res_fn(window)
+        z = jnp.zeros(dim, window.nodes.p.dtype)
 
-    def one(i):
-        fn = partial(res_fn, window, params, i)
-        return fn(z), jax.jacfwd(fn)(z)
+        def one(i):
+            fn = partial(res_fn, window, params, i)
+            return fn(z), jax.jacfwd(fn)(z)
 
-    r, J = jax.vmap(one)(idx)
+        r, J = jax.vmap(one)(idx)
+    else:
+        def one(i):
+            return preint_residual_jac(
+                _preint_i(window, i), _node(window, i),
+                _node(window, i + 1), params,
+            )
+
+        r, J = jax.vmap(one)(idx)
+    S = preint_sqrt_info(window)
+    r = jnp.einsum("fij,fj->fi", S, r)
+    J = jnp.einsum("fij,fjc->fic", S, J)
     m = preint_mask(window).astype(r.dtype)
     return r * m[:, None], J * m[:, None, None]
 
@@ -283,6 +310,7 @@ def _residuals_only(window: Window, cfg: SolverConfig,
     r_pre = jax.vmap(lambda i: res_fn(window, params, i, z_pre))(
         jnp.arange(N - 1)
     )
+    r_pre = jnp.einsum("fij,fj->fi", preint_sqrt_info(window), r_pre)
     r_pre = r_pre * preint_mask(window).astype(dtype)[:, None]
 
     z6 = jnp.zeros(6, dtype)
