@@ -49,7 +49,8 @@ def _time(fn, *args, reps=5):
     return (time.perf_counter() - t0) / reps, out
 
 
-def _live_pipeline_fps(duration=8.0, frame_rate=10.0, warmup_frames=20):
+def _live_pipeline_fps(duration=8.0, frame_rate=10.0, warmup_frames=20,
+                       max_wall_s=150.0):
     """Drive the REAL Pipeline (front-end + estimator, all host bookkeeping)
     over rendered sprite frames; report the steady-state add_image rate.
     Note: on a tunneled chip every device dispatch pays the tunnel RTT, so
@@ -110,7 +111,10 @@ def _live_pipeline_fps(duration=8.0, frame_rate=10.0, warmup_frames=20):
     gt = np.asarray(gnss.time)
     n_timed = 0
     wall = 0.0
+    t_leg0 = _t.perf_counter()
     for k in range(imu.n):
+        if _t.perf_counter() - t_leg0 > max_wall_s and n_timed >= 5:
+            break  # bounded bench wall time; rate already established
         dt = float(imu.dt[k])
         if dt == 0.0:
             continue

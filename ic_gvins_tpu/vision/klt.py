@@ -143,3 +143,120 @@ def lk_track_bidirectional(pyr0, pyr1, pts0, pts1_init, valid, fb_thresh=0.5):
     fb_err = jnp.linalg.norm(pts0_back - pts0, axis=-1)
     ok = ok_f & ok_b & (fb_err < fb_thresh)
     return pts1, ok, fb_err
+
+
+# ---------------------------------------------------------------------------
+# MXU formulation: bilinear sampling as two-hot row/col matmuls
+# ---------------------------------------------------------------------------
+
+
+def _twohot(origin, n: int, taps: int, dtype=jnp.float32):
+    """[F, taps, n] bilinear sampling matrix: row u holds (1-a) at
+    floor(origin)+u and a at floor(origin)+u+1 — so ``W @ signal`` is the
+    bilinearly interpolated window. The gather-free TPU formulation:
+    sampling becomes MXU matmuls (the same scatter/gather->one-hot-einsum
+    technique that fixed the solver assembly)."""
+    o0f = jnp.floor(origin)
+    a = (origin - o0f).astype(dtype)[:, None, None]
+    o0 = jnp.clip(o0f.astype(jnp.int32), 0, n - taps - 1)
+    idx = jnp.arange(n)[None, None, :]
+    base = (o0[:, None] + jnp.arange(taps)[None, :])[:, :, None]
+    w0 = (idx == base).astype(dtype)
+    w1 = (idx == base + 1).astype(dtype)
+    return w0 * (1 - a) + w1 * a
+
+
+def _sample_windows(img, ox, oy, taps: int):
+    """[F, taps, taps] bilinear windows at per-feature origins (x, y)."""
+    h, w = img.shape
+    wr = _twohot(oy, h, taps)
+    wc = _twohot(ox, w, taps)
+    tmp = jnp.einsum("fuh,hw->fuw", wr, img)
+    return jnp.einsum("fuw,fvw->fuv", tmp, wc)
+
+
+def _in_bounds_b(shape, pts):
+    h, w = shape
+    return (
+        (pts[:, 0] >= HALF) & (pts[:, 0] <= w - 1 - HALF)
+        & (pts[:, 1] >= HALF) & (pts[:, 1] <= h - 1 - HALF)
+    )
+
+
+def _track_level_matmul(img0, img1, pts0, pts1_init, ok_in):
+    """One LK level for ALL features at once: every bilinear window sample
+    is two batched einsums (MXU) instead of per-element gathers; the
+    iteration loop is batched with a per-feature convergence freeze and a
+    whole-batch early exit."""
+    s = _sample_windows(img0, pts0[:, 0] - HALF - 1, pts0[:, 1] - HALF - 1,
+                        WIN + 2)
+    t = s[:, 1:-1, 1:-1]
+    gx = 0.5 * (s[:, 1:-1, 2:] - s[:, 1:-1, :-2])
+    gy = 0.5 * (s[:, 2:, 1:-1] - s[:, :-2, 1:-1])
+
+    gxx = jnp.sum(gx * gx, axis=(1, 2))
+    gxy = jnp.sum(gx * gy, axis=(1, 2))
+    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / (WIN * WIN)
+    good = min_eig > MIN_EIG
+    inv = jnp.where(det > 1e-12, 1.0 / jnp.where(det > 1e-12, det, 1.0), 0.0)
+
+    ok0 = (
+        ok_in & _in_bounds_b(img0.shape, pts0)
+        & _in_bounds_b(img1.shape, pts1_init) & good
+    )
+
+    def cond(carry):
+        i, pt, done = carry
+        return (i < MAX_ITERS) & jnp.any(~done)
+
+    def body(carry):
+        i, pt, done = carry
+        patch = _sample_windows(img1, pt[:, 0] - HALF, pt[:, 1] - HALF, WIN)
+        diff = patch - t
+        b1 = jnp.sum(diff * gx, axis=(1, 2))
+        b2 = jnp.sum(diff * gy, axis=(1, 2))
+        dx = -inv * (gyy * b1 - gxy * b2)
+        dy = -inv * (gxx * b2 - gxy * b1)
+        dpt = jnp.stack([dx, dy], -1)
+        step_ok = _in_bounds_b(img1.shape, pt + dpt)
+        frozen = done | ~step_ok
+        pt_new = jnp.where(frozen[:, None], pt, pt + dpt)
+        done_new = done | (dx * dx + dy * dy < EPS_STEP * EPS_STEP) | ~step_ok
+        return i + 1, pt_new, done_new
+
+    _, pt1, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), pts1_init, ~ok0)
+    )
+    ok = ok0 & _in_bounds_b(img1.shape, pt1)
+    return pt1, ok
+
+
+def lk_track_matmul(pyr0, pyr1, pts0, pts1_init, valid):
+    """Pyramidal LK, MXU formulation; same contract as ``lk_track``."""
+    levels = len(pyr0)
+    pts0 = pts0.astype(jnp.float32)
+    pts1 = pts1_init.astype(jnp.float32) / (2.0 ** (levels - 1))
+    ok = valid
+    for lv in range(levels - 1, -1, -1):
+        s = 2.0**lv
+        if lv < levels - 1:
+            pts1 = pts1 * 2.0
+        pts1, ok_lv = _track_level_matmul(
+            pyr0[lv], pyr1[lv], pts0 / s, pts1, valid
+        )
+        if lv == 0:
+            ok = ok & ok_lv
+    return pts1, ok
+
+
+def lk_track_bidirectional_matmul(pyr0, pyr1, pts0, pts1_init, valid,
+                                  fb_thresh=0.5):
+    """Forward + backward MXU LK with the 0.5 px consistency gate."""
+    pts1, ok_f = lk_track_matmul(pyr0, pyr1, pts0, pts1_init, valid)
+    pts0_back, ok_b = lk_track_matmul(pyr1, pyr0, pts1, pts0.astype(jnp.float32), ok_f)
+    fb_err = jnp.linalg.norm(pts0_back - pts0.astype(jnp.float32), axis=-1)
+    ok = ok_f & ok_b & (fb_err < fb_thresh)
+    return pts1, ok, fb_err

@@ -212,3 +212,40 @@ def test_corner_subpix_invalid_points_unchanged():
     ok = jnp.asarray([False, True])
     out = np.asarray(detector.corner_subpix(jnp.asarray(img), pts, ok))
     assert np.allclose(out[0], [10.0, 10.0])
+
+
+def test_lk_matmul_matches_gather_formulation():
+    """The MXU two-hot-matmul LK must track like the gather-based pure-JAX
+    LK (same math, different sampling formulation)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ic_gvins_tpu.vision import klt, pyramid
+
+    rng = np.random.RandomState(3)
+    img0 = rng.rand(128, 160).astype(np.float32) * 255
+    try:
+        from scipy.ndimage import gaussian_filter
+
+        img0 = gaussian_filter(img0, 2.0) * 4.0
+    except ImportError:
+        img0 = (img0[:-1, :-1] + img0[1:, :-1] + img0[:-1, 1:] + img0[1:, 1:]) / 4.0
+        img0 = np.pad(img0, ((0, 1), (0, 1)), mode="edge")
+    img1 = np.roll(img0, (2, 3), axis=(0, 1))
+    pyr0 = pyramid.build_pyramid(jnp.asarray(img0), 3)
+    pyr1 = pyramid.build_pyramid(jnp.asarray(img1), 3)
+    pts = jnp.asarray(rng.rand(32, 2) * np.array([100.0, 68.0]) + 30.0,
+                      jnp.float32)
+    valid = jnp.ones(32, bool)
+
+    p_ref, ok_ref = klt.lk_track(pyr0, pyr1, pts, pts, valid)
+    p_mm, ok_mm = klt.lk_track_matmul(pyr0, pyr1, pts, pts, valid)
+    both = np.asarray(ok_ref) & np.asarray(ok_mm)
+    assert both.sum() >= 20
+    d = np.linalg.norm(np.asarray(p_ref) - np.asarray(p_mm), axis=-1)
+    assert float(d[both].max()) < 0.2, d[both].max()
+    # both must find the true (3, 2) shift
+    err = np.linalg.norm(
+        np.asarray(p_mm) - (np.asarray(pts) + np.array([3.0, 2.0])), axis=-1
+    )
+    assert float(err[np.asarray(ok_mm)].mean()) < 0.1
