@@ -93,3 +93,58 @@ def test_free_mask_freezes_invalid_nodes():
     # invalid node slots must not move
     np.testing.assert_allclose(win2.nodes.p[4:], win.nodes.p[4:], atol=0)
     np.testing.assert_allclose(win2.nodes.q[4:], win.nodes.q[4:], atol=0)
+
+
+def test_reproj_analytic_jacobian_matches_jacfwd():
+    """The analytic reprojection Jacobian must equal jacfwd of the
+    boxplus-perturbed residual to machine precision, across all five
+    blocks (ref pose, obs pose, extrinsic, td, invdepth)."""
+    import numpy as np
+    from functools import partial
+    from helpers import build_gvins_window, default_cfg
+
+    from ic_gvins_tpu.factors.residuals import reprojection_residual_jac
+
+    win, truth, params, traj, lms, invd_truth = build_gvins_window(
+        n_nodes=5, n_landmarks=12, seed=77
+    )
+    cfg = default_cfg()
+    # non-trivial extrinsic/td so those blocks are exercised
+    import jax.numpy as jnp
+    from ic_gvins_tpu.common import rotation as rot
+
+    win = win._replace(
+        td=jnp.asarray(0.003),
+        frame_td=jnp.full(5, 0.001),
+        obs_vel=win.obs_vel + 0.05,
+    )
+    obs_valid = np.asarray(win.obs_valid)
+    checked = 0
+    for l in range(12):
+        for k in range(5):
+            if not obs_valid[l, k] or int(win.lm_ref[l]) == k:
+                continue
+            fn = partial(assembly._reproj_res, win, cfg, l, k)
+            z = jnp.zeros(20)
+            J_ad = jax.jacfwd(fn)(z)
+            ref = int(win.lm_ref[l])
+            nref = jax.tree.map(lambda x: x[ref], win.nodes)
+            nobs = jax.tree.map(lambda x: x[k], win.nodes)
+            invd = win.lm_invdepth[l]
+            invd = jnp.where(jnp.abs(invd) < 1e-4, 1e-4, invd)
+            r_an, J_an = reprojection_residual_jac(
+                nref.p, nref.q, nobs.p, nobs.q,
+                win.ext_p, win.ext_q, invd, win.td,
+                win.obs_uv[l, ref], win.obs_uv[l, k],
+                win.obs_vel[l, ref], win.obs_vel[l, k],
+                win.frame_td[ref], win.frame_td[k],
+                cfg.reproj_std,
+            )
+            np.testing.assert_allclose(np.asarray(fn(z)), np.asarray(r_an),
+                                       rtol=0, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ad),
+                                       rtol=1e-8, atol=1e-9, err_msg=f"l={l} k={k}")
+            checked += 1
+            if checked >= 8:
+                return
+    assert checked >= 4
