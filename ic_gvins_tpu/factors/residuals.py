@@ -94,19 +94,19 @@ def reprojection_residual_jac(
         - jnp.stack([x, y])[:, None] * (iz * iz) \
         * jnp.array([[0.0, 0.0, 1.0]], pc1.dtype)
 
-    J = jnp.zeros((2, 20), pc1.dtype)
-    J = J.at[:, 0:3].set(P @ Rcw1)                       # d p0
-    J = J.at[:, 3:6].set(-(P @ B) @ rot.skew(pb0))       # d theta0
-    J = J.at[:, 6:9].set(-(P @ Rcw1))                    # d p1
-    J = J.at[:, 9:12].set((P @ Ric.T) @ rot.skew(pb1))   # d theta1
-    J = J.at[:, 12:15].set(P @ (B - Ric.T))              # d tic
-    J = J.at[:, 15:18].set(
-        P @ (rot.skew(pc1) - M @ rot.skew(pc0))          # d theta_ic
-    )
+    PR = P @ Rcw1
     dtd = -(P @ (M @ jnp.concatenate(
         [vel0, jnp.zeros_like(vel0[:1])]) / invdepth)) + vel1
-    J = J.at[:, 18].set(dtd)                             # d td
-    J = J.at[:, 19].set(-(P @ (M @ pc0)) / invdepth)     # d invdepth
+    J = jnp.concatenate([
+        PR,                                   # d p0
+        -(P @ B) @ rot.skew(pb0),             # d theta0
+        -PR,                                  # d p1
+        (P @ Ric.T) @ rot.skew(pb1),          # d theta1
+        P @ (B - Ric.T),                      # d tic
+        P @ (rot.skew(pc1) - M @ rot.skew(pc0)),  # d theta_ic
+        dtd[:, None],                         # d td
+        (-(P @ (M @ pc0)) / invdepth)[:, None],   # d invdepth
+    ], axis=1)
     return r / std, J / std
 
 

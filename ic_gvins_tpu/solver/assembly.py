@@ -252,28 +252,22 @@ def eval_gnss(window: Window, cfg: SolverConfig):
 
 
 def eval_reproj(window: Window, cfg: SolverConfig):
-    """Residuals [L,N,2], Jacobians [L,N,2,20], masked. Uses the ANALYTIC
-    factor Jacobians (``factors/residuals.py::reprojection_residual_jac``,
-    reference reprojection_factor.h:102-158) — no 20-tangent jacfwd per
-    observation."""
-    from ..factors.residuals import reprojection_residual_jac
+    """Residuals [L,N,2], Jacobians [L,N,2,20], masked.
 
+    Stays on jacfwd: the closed-form Jacobian
+    (``factors/residuals.py::reprojection_residual_jac``, validated
+    against jacfwd to 1e-8) was MEASURED SLOWER on TPU — optimize went
+    35.5 -> 55 ms; jacfwd's 20 tangents form one well-fused batched
+    dimension, while the analytic version's many small per-factor 2x3/3x3
+    products lower to scalar-ish code under the double vmap. The analytic
+    form remains as the documentation/validation reference (the
+    reference's hand-derived Jacobians, reprojection_factor.h:102-158)."""
     L, N = window.obs_valid.shape
+    z = jnp.zeros(20, window.nodes.p.dtype)
 
     def one(l, k):
-        ref = window.lm_ref[l]
-        nref = _node(window, ref)
-        nobs = _node(window, k)
-        invd = window.lm_invdepth[l]
-        invd = jnp.where(jnp.abs(invd) < 1e-4, 1e-4, invd)
-        return reprojection_residual_jac(
-            nref.p, nref.q, nobs.p, nobs.q,
-            window.ext_p, window.ext_q, invd, window.td,
-            window.obs_uv[l, ref], window.obs_uv[l, k],
-            window.obs_vel[l, ref], window.obs_vel[l, k],
-            window.frame_td[ref], window.frame_td[k],
-            cfg.reproj_std,
-        )
+        fn = partial(_reproj_res, window, cfg, l, k)
+        return fn(z), jax.jacfwd(fn)(z)
 
     r, J = jax.vmap(jax.vmap(one, in_axes=(None, 0)), in_axes=(0, None))(
         jnp.arange(L), jnp.arange(N)
