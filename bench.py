@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 8
+import os as _os
+BATCH = int(_os.environ.get("BENCH_BATCH", "8"))
 N_NODES = 12
 N_LANDMARKS = 192
 ITERS = 20
@@ -50,7 +51,7 @@ def _time(fn, *args, reps=5):
 
 
 def _live_pipeline_fps(duration=8.0, frame_rate=10.0, warmup_frames=20,
-                       max_wall_s=150.0):
+                       max_wall_s=300.0):
     """Drive the REAL Pipeline (front-end + estimator, all host bookkeeping)
     over rendered sprite frames; report the steady-state add_image rate.
     Note: on a tunneled chip every device dispatch pays the tunnel RTT, so
@@ -113,7 +114,7 @@ def _live_pipeline_fps(duration=8.0, frame_rate=10.0, warmup_frames=20,
     wall = 0.0
     t_leg0 = _t.perf_counter()
     for k in range(imu.n):
-        if _t.perf_counter() - t_leg0 > max_wall_s and n_timed >= 5:
+        if _t.perf_counter() - t_leg0 > max_wall_s and n_timed >= 15:
             break  # bounded bench wall time; rate already established
         dt = float(imu.dt[k])
         if dt == 0.0:
