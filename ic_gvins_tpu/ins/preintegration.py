@@ -159,7 +159,7 @@ def preintegrate(
     )
     rest = ImuSeq(imu.time[1:], imu.dt[1:], imu.dtheta[1:], imu.dvel[1:])
     (p, v, q, dp, dv, dq, sum_dt_pn, t_acc, _), (phis, qks) = jax.lax.scan(
-        step, init, rest
+        step, init, rest, unroll=8
     )
 
     # --- Jacobian & covariance via log-depth pairwise composition ---
