@@ -91,7 +91,7 @@ def mechanize_scan(params: IntegrationParams, state0: NavState, imu: ImuSeq) -> 
 
     first = (imu.dt[0], imu.dtheta[0], imu.dvel[0])
     rest = ImuSeq(imu.time[1:], imu.dt[1:], imu.dtheta[1:], imu.dvel[1:])
-    (_, _), states = jax.lax.scan(body, (state0, first), rest)
+    (_, _), states = jax.lax.scan(body, (state0, first), rest, unroll=8)
     # Prepend state0 stamped at the first IMU epoch.
     head = state0._replace(time=imu.time[0])
     return jax.tree.map(
