@@ -51,7 +51,7 @@ class OdoConfig:
 @dataclass
 class EngineConfig:
     # --- gvins.yaml keys ---
-    initlength: float = 1.0  # s of IMU for initialization
+    initlength: float = 1.0  # GINS preintegrations before vision joins (ic_gvins.cc:443)
     imudatarate: float = 200.0
     iswithearth: bool = True
     antlever: tuple = (0.0, 0.0, 0.0)
@@ -93,6 +93,12 @@ class EngineConfig:
     # increment unscaled). A/B: tests/test_ingest.py::test_imu_gap_repair_ab
     imu_gap_repair: str = "split"
     default_depth: float = 10.0  # m
+    # Warm-up floor: minimum preintegrations before chi2/outlier culling and
+    # the full two-phase round activate.  The effective gate is
+    # max(warmup_min_preint, initlength), so configs with initlength > this
+    # floor keep culling off for the whole GINS phase (parity with the
+    # reference, which only culls once tracking started, ic_gvins.cc:443-446).
+    warmup_min_preint: int = 5
 
     # --- fixed-capacity knobs of the TPU build (static shapes) ---
     use_native_imu_buffer: bool = True  # C++ ring buffer (native/imu_buffer.cpp)

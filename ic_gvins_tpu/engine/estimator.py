@@ -372,12 +372,15 @@ class Estimator:
             dvel = np.asarray(dvel, np.float64)
             if self.cfg.imu_gap_repair == "repeat":
                 # reference parity: each synthesized sample carries the
-                # FULL received increment at nominal dt
+                # FULL received increment at nominal dt, and the spanning
+                # sample itself is DROPPED (ic_gvins.cc:194-203 pushes only
+                # the cnts filler copies — the `else` push is never reached
+                # on the gap branch), so the fill ends one nominal dt short
+                # of t.
                 for _ in range(n_fill):
                     tj += nominal
                     self.imu.append(tj, nominal, dtheta, dvel)
                     self.imu_repaired += 1
-                self.imu.append(t, t - tj, dtheta, dvel)
             else:
                 frac = nominal / dt
                 for _ in range(n_fill):
@@ -1092,7 +1095,15 @@ class Estimator:
         # initialization phase: longer solve, no chi2 culling
         # (gvinsInitializationOptimization, ic_gvins.cc:728-756 runs <=50
         # iterations; culling starts with the full fusion)
-        warming_up = self.n_nodes < 6
+        # The gate is unified with ``initlength`` (the config value that
+        # admits vision, _dispatch_frame): the reference never culls while
+        # the GINS phase is still running (ic_gvins.cc:443-446), so with
+        # initlength > the floor the warm-up follows the config instead of
+        # a second hardcoded constant.  At the defaults (initlength=1,
+        # warmup_min_preint=5) this is the historical "n_nodes < 6".
+        warming_up = self.n_nodes - 1 < max(
+            self.cfg.warmup_min_preint, int(self.cfg.initlength)
+        )
         # extrinsic/time-delay estimation only in normal tracking
         # (ic_gvins.cc:1806,1815: frozen unless GVINS_TRACKING_NORMAL)
         cfg_round = self.solver_cfg

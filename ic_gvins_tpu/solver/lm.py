@@ -134,7 +134,9 @@ def chi2_cull(window: Window, cfg: SolverConfig, axis_name: str | None = None):
     bad fix -> lower chi2 -> more weight -> more drag). Data picked the
     reference behavior.
     """
-    # evaluate chi2 against the BASE std so the scale never compounds
+    # non-compounding variant: evaluate chi2 against the BASE std so the
+    # scale is recomputed fresh each round (overridden below when the
+    # default chi2_compound=True reference-parity ratchet is active)
     base = window._replace(gnss_std=window.gnss_std_base)
     r_g, _ = eval_gnss(base, cfg)
     chi_g = jnp.sum(r_g**2, axis=-1)
@@ -188,7 +190,12 @@ def optimize_impl(
         return window, (stats, stats, jnp.asarray(0))
 
     # The reference's split is num/4 + 3num/4 with num=20 -> 5+15
-    # (ic_gvins.cc:1165-1166). Phase 1 must CONVERGE before the chi2 gates
+    # (ic_gvins.cc:1165-1166). NOTE: for budgets below 20 the phase-1
+    # floor makes it1 + it2 exceed ``iters`` (e.g. iters=8 -> 5+6=11
+    # nominal); this overshoot is deliberate — clamping it2 to the budget
+    # remainder measurably under-converges (see below), and both loops
+    # early-exit on convergence so the nominal surplus costs nothing warm.
+    # Phase 1 must CONVERGE before the chi2 gates
     # run — culling from an unconverged state inflates honest fixes, and
     # with the compounding reweight the inflation is permanent — so low
     # iteration budgets keep the reference's 5-iteration phase-1 floor;

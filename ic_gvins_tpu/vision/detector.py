@@ -181,10 +181,17 @@ def corner_subpix(
         pt0 = pt0_abs - b.astype(jnp.float32)  # patch-local
 
         def step(carry):
-            i, pt, _ = carry
+            i, pt, _, shifted = carry
             # window origin (tap [-win-1, -win-1]) in patch coords
             org = pt - (win + 1)
-            oi = jnp.clip(jnp.floor(org).astype(jnp.int32), 0, P - taps - 1)
+            oi_true = jnp.floor(org).astype(jnp.int32)
+            oi = jnp.clip(oi_true, 0, P - taps - 1)
+            # A clamped origin means the sampled window silently shifted
+            # away from pt (border feature whose patch origin was itself
+            # clipped); gradients then come from the wrong location, so
+            # such points are reverted to pt0 below — mirroring OpenCV's
+            # contract that cornerSubPix needs the window fully inside.
+            shifted = shifted | jnp.any(oi != oi_true)
             a = org - oi.astype(jnp.float32)
             blk = jax.lax.dynamic_slice(patch, (oi[1], oi[0]),
                                         (taps + 1, taps + 1))
@@ -209,17 +216,20 @@ def corner_subpix(
             scale = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
             d = jnp.array([cc * bb1 - bb * bb2, aa * bb2 - bb * bb1]) * scale
             err = jnp.sum(d * d)
-            return i + 1, pt + d, jnp.where(ok, err, 0.0)
+            return i + 1, pt + d, jnp.where(ok, err, 0.0), shifted
 
         def cond(carry):
-            i, pt, err = carry
+            i, pt, err, _ = carry
             inb = (pt[0] >= 0) & (pt[0] < P) & (pt[1] >= 0) & (pt[1] < P)
             return (i < max_iters) & (err > eps * eps) & inb
 
-        _, pt, _ = jax.lax.while_loop(cond, step, (0, pt0, jnp.inf))
-        # revert points that drifted out of the search window
+        _, pt, _, shifted = jax.lax.while_loop(
+            cond, step, (0, pt0, jnp.inf, jnp.asarray(False))
+        )
+        # revert points that drifted out of the search window or whose
+        # sampling window ever clamped against the patch border
         drift = jnp.abs(pt - pt0)
-        bad = (drift[0] > win + 1) | (drift[1] > win + 1)
+        bad = (drift[0] > win + 1) | (drift[1] > win + 1) | shifted
         return jnp.where(bad, pt0, pt) + b.astype(jnp.float32)
 
     out = jax.vmap(refine)(pts32, base, patches)

@@ -158,6 +158,11 @@ def _twohot(origin, n: int, taps: int, dtype=jnp.float32):
     technique that fixed the solver assembly)."""
     o0f = jnp.floor(origin)
     a = (origin - o0f).astype(dtype)[:, None, None]
+    # Max valid origin is n - taps - 1: row u = taps-1 samples indices
+    # o0 + taps - 1 (w0) and o0 + taps (w1), so o0 + taps <= n - 1 exactly
+    # when o0 <= n - taps - 1.  Origins beyond that (feature outside the
+    # _in_bounds_b margin) clamp, shifting the window — such features are
+    # already masked invalid by the caller's bounds check.
     o0 = jnp.clip(o0f.astype(jnp.int32), 0, n - taps - 1)
     idx = jnp.arange(n)[None, None, :]
     base = (o0[:, None] + jnp.arange(taps)[None, :])[:, :, None]
