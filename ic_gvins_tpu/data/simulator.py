@@ -82,6 +82,181 @@ def car_trajectory(
     return Trajectory(pos=pos, euler=euler)
 
 
+class UrbanRoute(NamedTuple):
+    """Piecewise closed-form urban drive (KAIST urban38-equivalent scale).
+
+    Segments are straights with cosine speed ramps, constant-speed arcs
+    (intersection turns / U-turns), and dwells (traffic stops). Position,
+    heading and cumulative distance have closed forms per segment, so the
+    simulator's autodiff-of-kinematics IMU derivation applies unchanged.
+    Velocity is continuous across junctions by construction; acceleration
+    steps at junctions (centripetal onset) like a real car's jerk, which
+    the Gauss-Legendre increment quadrature absorbs as sub-sample error.
+    """
+
+    t0: jnp.ndarray  # [S] segment start times
+    kind: jnp.ndarray  # [S] 0 = straight (ramp), 1 = arc
+    p0: jnp.ndarray  # [S,2] start xy (NED north/east)
+    yaw0: jnp.ndarray  # [S] start heading (continuous, unwrapped)
+    v0: jnp.ndarray  # [S] entry speed
+    v1: jnp.ndarray  # [S] exit speed (straights; == v0 for arcs)
+    omega: jnp.ndarray  # [S] yaw rate (arcs; dummy 1.0 for straights)
+    dur: jnp.ndarray  # [S] duration
+    d0: jnp.ndarray  # [S] cumulative distance at segment start
+    total_time: float
+    total_dist: float
+
+
+def urban_route(
+    seed: int = 0,
+    duration: float = 2154.0,
+    cruise_range: tuple[float, float] = (6.0, 11.0),
+    turn_speed: float = 4.5,
+    block_range: tuple[float, float] = (150.0, 450.0),
+    radius_range: tuple[float, float] = (10.0, 22.0),
+    stop_prob: float = 0.30,
+    dwell_range: tuple[float, float] = (8.0, 20.0),
+    uturn_prob: float = 0.08,
+) -> UrbanRoute:
+    """Plan a deterministic urban drive until ``duration`` is covered.
+
+    Defaults target the KAIST urban38 envelope (2154 s / 11.2 km,
+    reference ``README.md:131``): city blocks with 90-deg corners,
+    occasional U-turns, and traffic-light stops.
+    """
+    rng = np.random.RandomState(seed)
+    segs = []  # (kind, v0, v1, omega, dur)
+    t = 0.0
+    v_cur = 0.0
+
+    def add(kind, v0, v1, omega, dur):
+        nonlocal t
+        if dur <= 1e-6:
+            return
+        segs.append((kind, v0, v1, omega, dur))
+        t += dur
+
+    # pull away from rest at the start
+    add(0, 0.0, turn_speed, 1.0, 6.0)
+    v_cur = turn_speed
+    while t < duration:
+        v_cruise = rng.uniform(*cruise_range)
+        block = rng.uniform(*block_range)
+        # straight: ramp v_cur -> v_cruise over the block, then back down
+        # to the next junction speed. Split 40/60 so both ramps are gentle.
+        l1, l2 = 0.4 * block, 0.6 * block
+        add(0, v_cur, v_cruise, 1.0, 2 * l1 / (v_cur + v_cruise))
+        if rng.uniform() < stop_prob:
+            # traffic stop mid-block: decel to 0, dwell, accel
+            l_stop = min(0.5 * l2, 40.0)
+            add(0, v_cruise, 0.0, 1.0, 2 * l_stop / v_cruise)
+            add(0, 0.0, 0.0, 1.0, rng.uniform(*dwell_range))
+            add(0, 0.0, v_cruise, 1.0, 2 * l_stop / v_cruise)
+            l2 = max(l2 - 2 * l_stop, 20.0)
+        add(0, v_cruise, turn_speed, 1.0, 2 * l2 / (v_cruise + turn_speed))
+        # junction: +-90 deg corner, or occasionally a U-turn
+        ang = np.pi if rng.uniform() < uturn_prob else np.pi / 2
+        sgn = 1.0 if rng.uniform() < 0.5 else -1.0
+        radius = rng.uniform(*radius_range)
+        omega = sgn * turn_speed / radius
+        add(1, turn_speed, turn_speed, omega, ang / abs(omega))
+        v_cur = turn_speed
+
+    # integrate junction states in f64 on host
+    n = len(segs)
+    kind = np.array([s[0] for s in segs], np.int32)
+    v0 = np.array([s[1] for s in segs])
+    v1 = np.array([s[2] for s in segs])
+    omega = np.array([s[3] for s in segs])
+    dur = np.array([s[4] for s in segs])
+    t0 = np.concatenate([[0.0], np.cumsum(dur)[:-1]])
+    p0 = np.zeros((n + 1, 2))
+    yaw0 = np.zeros(n + 1)
+    d0 = np.zeros(n + 1)
+    for i in range(n):
+        if kind[i] == 0:
+            d = 0.5 * (v0[i] + v1[i]) * dur[i]
+            p0[i + 1] = p0[i] + d * np.array(
+                [np.cos(yaw0[i]), np.sin(yaw0[i])]
+            )
+            yaw0[i + 1] = yaw0[i]
+        else:
+            y1 = yaw0[i] + omega[i] * dur[i]
+            r = v0[i] / omega[i]
+            p0[i + 1] = p0[i] + r * np.array(
+                [np.sin(y1) - np.sin(yaw0[i]), np.cos(yaw0[i]) - np.cos(y1)]
+            )
+            yaw0[i + 1] = y1
+            d = v0[i] * dur[i]
+        d0[i + 1] = d0[i] + d
+    return UrbanRoute(
+        t0=jnp.asarray(t0), kind=jnp.asarray(kind), p0=jnp.asarray(p0[:-1]),
+        yaw0=jnp.asarray(yaw0[:-1]), v0=jnp.asarray(v0), v1=jnp.asarray(v1),
+        omega=jnp.asarray(omega), dur=jnp.asarray(dur), d0=jnp.asarray(d0[:-1]),
+        total_time=float(t0[-1] + dur[-1]), total_dist=float(d0[-1]),
+    )
+
+
+def _route_eval(route: UrbanRoute, t):
+    """(xy, yaw, dist) at time t — closed form, autodiff-safe."""
+    i = jnp.clip(
+        jnp.searchsorted(route.t0, t, side="right") - 1, 0, route.t0.shape[0] - 1
+    )
+    tau = jnp.clip(t - route.t0[i], 0.0, route.dur[i])
+    v0, v1, T = route.v0[i], route.v1[i], route.dur[i]
+    # straight: cosine speed ramp v0 -> v1; closed-form distance
+    d_str = v0 * tau + 0.5 * (v1 - v0) * (
+        tau - (T / jnp.pi) * jnp.sin(jnp.pi * tau / T)
+    )
+    yaw_str = route.yaw0[i]
+    xy_str = route.p0[i] + d_str * jnp.stack(
+        [jnp.cos(yaw_str), jnp.sin(yaw_str)]
+    )
+    # arc: constant speed, constant yaw rate (omega is dummy 1.0 for
+    # straights so this branch never divides by zero under jnp.where)
+    w = route.omega[i]
+    yaw_arc = route.yaw0[i] + w * tau
+    r = v0 / w
+    xy_arc = route.p0[i] + r * jnp.stack(
+        [
+            jnp.sin(yaw_arc) - jnp.sin(route.yaw0[i]),
+            jnp.cos(route.yaw0[i]) - jnp.cos(yaw_arc),
+        ]
+    )
+    d_arc = v0 * tau
+    is_arc = route.kind[i] == 1
+    xy = jnp.where(is_arc, xy_arc, xy_str)
+    yaw = jnp.where(is_arc, yaw_arc, yaw_str)
+    dist = route.d0[i] + jnp.where(is_arc, d_arc, d_str)
+    return xy, yaw, dist
+
+
+def urban_trajectory(
+    route: UrbanRoute,
+    bump_amp: float = 0.04,
+    roll_amp: float = 0.006,
+    pitch_amp: float = 0.005,
+) -> Trajectory:
+    """Trajectory over an UrbanRoute. Vertical bumps and roll/pitch
+    oscillations are functions of *distance travelled*, so they freeze at
+    stops — the ZUPT detector sees genuine zero motion at traffic lights,
+    matching how the reference initializes from standstill
+    (``ic_gvins.cc:644-660``)."""
+
+    def pos(t):
+        xy, _, dist = _route_eval(route, t)
+        z = bump_amp * jnp.sin(2 * jnp.pi * dist / 23.0)
+        return jnp.concatenate([xy, z[None] if z.ndim == 0 else z])
+
+    def euler(t):
+        _, yaw, dist = _route_eval(route, t)
+        r = roll_amp * jnp.sin(2 * jnp.pi * dist / 31.0)
+        p = pitch_amp * jnp.sin(2 * jnp.pi * dist / 17.0)
+        return jnp.stack([r, p, yaw])
+
+    return Trajectory(pos=pos, euler=euler)
+
+
 def static_trajectory() -> Trajectory:
     """Stationary platform (for ZUPT / initialization tests)."""
     return Trajectory(
@@ -332,6 +507,51 @@ def render_sprite_frame(
     img, _ = jax.lax.scan(add_blob, jnp.full((h, w), base_level, jnp.float32),
                           jnp.arange(landmarks.shape[0]))
     return jnp.clip(img, 0.0, 255.0)
+
+
+def render_sprite_frame_np(
+    cam_intrinsic: tuple,
+    resolution: tuple,
+    landmarks: np.ndarray,  # [L,3] world points (numpy, f64)
+    t_wc: np.ndarray,
+    q_wc: np.ndarray,
+    sprite_sigma: float = 1.6,
+    base_level: float = 24.0,
+) -> np.ndarray:
+    """Fast host-side sprite renderer: identical image model to
+    ``render_sprite_frame`` but accumulates each blob as a local
+    (6 sigma)^2 patch with numpy instead of scanning full-frame blobs on
+    device — ~100x cheaper per frame, which is what makes the
+    urban-scale (20k+ frame) endurance replay tractable on this host."""
+    fx, fy, cx, cy = cam_intrinsic[:4]
+    w, h = resolution
+    q = np.asarray(q_wc, np.float64)
+    # world -> camera: R(q)^T (pw - t)
+    qw, xyz = q[0], q[1:]
+    d = np.asarray(landmarks, np.float64) - np.asarray(t_wc, np.float64)
+    t2 = 2.0 * np.cross(xyz, d)
+    pc = d - qw * t2 + np.cross(xyz, t2)  # inverse rotation
+    z = pc[:, 2]
+    vis = z > 1.0
+    u = fx * pc[:, 0] / np.where(vis, z, 1.0) + cx
+    v = fy * pc[:, 1] / np.where(vis, z, 1.0) + cy
+    amp = np.where(vis, 200.0 / np.sqrt(np.maximum(z, 1.0)), 0.0)
+    half = int(np.ceil(3.0 * sprite_sigma))
+    vis &= (u > -half) & (u < w + half) & (v > -half) & (v < h + half)
+
+    img = np.full((h, w), base_level, np.float32)
+    inv2s2 = 1.0 / (2.0 * sprite_sigma**2)
+    for ui, vi, ai in zip(u[vis], v[vis], amp[vis]):
+        x0 = max(int(np.floor(ui)) - half, 0)
+        x1 = min(int(np.floor(ui)) + half + 2, w)
+        y0 = max(int(np.floor(vi)) - half, 0)
+        y1 = min(int(np.floor(vi)) + half + 2, h)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        ys = (np.arange(y0, y1, dtype=np.float32) - vi)[:, None] ** 2
+        xs = (np.arange(x0, x1, dtype=np.float32) - ui)[None, :] ** 2
+        img[y0:y1, x0:x1] += ai * np.exp(-(ys + xs) * inv2s2)
+    return np.clip(img, 0.0, 255.0)
 
 
 def default_params(

@@ -343,6 +343,8 @@ class Estimator:
         # near zero by re-centering so the f32 TPU path retains precision
         # (SURVEY.md §7.4 hard part 1); outputs add the offset back
         self.origin = np.zeros(3, np.float64)
+        self.n_recenters = 0  # instrumentation: window shifts (f32 guard)
+        self._mech_cache = (None, None, None)  # (t, state obj, result)
         thr = cfg.recenter_threshold
         if thr is None:
             thr = 0.0 if jax.config.jax_enable_x64 else 20.0
@@ -622,14 +624,24 @@ class Estimator:
 
     def _mechanize_to(self, t: float) -> NavState:
         """Mechanize from the last node state to time t (redo semantics:
-        always replays from the freshest optimized node, misc.cc:231-284)."""
+        always replays from the freshest optimized node, misc.cc:231-284).
+
+        One-entry memo: the front-end prediction and the keyframe decision
+        both ask for the SAME t within one frame; without the memo each
+        frame pays a second mechanization dispatch (a full RTT on a
+        tunneled chip — VERDICT r3 weak #2)."""
         s = self.last_node_state
+        ct, cs, cout = self._mech_cache
+        if ct == t and cs is s:
+            return cout
         if t <= float(s.time) + self.cfg.min_time_interval:
             return s
         n_needed = _bucket(int((t - float(s.time)) * self.cfg.imudatarate) + 8)
         imu = self.imu.slice_between(float(s.time), t, n_needed)
         states = _mechanize_jit(self.params, s, imu)
-        return states.index(-1)
+        out = states.index(-1)
+        self._mech_cache = (t, s, out)
+        return out
 
     def _preintegrate(self, state_prev: NavState, imu: ImuSeq):
         """Variant dispatch (parity Preintegration::createPreintegration,
@@ -1495,6 +1507,7 @@ class Estimator:
             self.cur_state = self.cur_state._replace(p=self.cur_state.p - sh)
         self.gnss_queue = [(t, p - p0, s) for t, p, s in self.gnss_queue]
         self.origin += p0
+        self.n_recenters += 1
 
     # ------------------------------------------------------------------
     # checkpoint / resume (new capability: the reference has none, §5.4 —

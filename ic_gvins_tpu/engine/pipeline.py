@@ -21,15 +21,25 @@ from .frontend import Frontend
 
 class Pipeline:
     def __init__(self, cfg: EngineConfig, use_pallas: bool | None = None,
-                 use_clahe: bool = True, drawer=None):
+                 use_clahe: bool = True, drawer=None, cell: int | None = None):
         self.cfg = cfg
         self.est = Estimator(cfg)
         cam = cam_mod.Camera.create(
             cfg.cam.intrinsic, cfg.cam.distortion, cfg.cam.resolution
         )
+        if cell is None:
+            # detection grid sized so the cell count comfortably exceeds
+            # the feature budget (the reference uses 200 px blocks on
+            # 1278 px imagery, tracking.h:112 — ~6 features per block;
+            # a fixed 64 px cell starves small-resolution cameras)
+            w, h = cfg.cam.resolution
+            cell = 64
+            while cell > 16 and (w // cell) * (h // cell) < cfg.track_max_features:
+                cell //= 2
         self.frontend = Frontend(
             cam,
             max_features=cfg.track_max_features,
+            cell=cell,
             use_pallas=use_pallas,
             use_clahe=use_clahe,
             check_histogram=cfg.track_check_histogram,

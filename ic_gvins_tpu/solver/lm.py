@@ -43,6 +43,32 @@ class LMStats(NamedTuple):
     iters_run: jax.Array  # iterations actually executed (early exit)
 
 
+class _LoopVars(NamedTuple):
+    """The ONLY window fields the LM iteration mutates. Carrying (and
+    accept/reject-selecting) just these instead of the whole Window keeps
+    the while_loop carry at ~KB instead of ~MB: the observation tensors,
+    preintegration buffers and masks are loop-invariant, and XLA
+    double-buffers the full carry every iteration (measured as a
+    significant slice of the latency-bound optimize stage)."""
+
+    nodes: object  # NavState [N]
+    ext_p: jax.Array
+    ext_q: jax.Array
+    td: jax.Array
+    sodo: jax.Array
+    lm_invdepth: jax.Array
+
+
+def _get_vars(win: Window) -> _LoopVars:
+    return _LoopVars(win.nodes, win.ext_p, win.ext_q, win.td, win.sodo,
+                     win.lm_invdepth)
+
+
+def _set_vars(win: Window, v: _LoopVars) -> Window:
+    return win._replace(nodes=v.nodes, ext_p=v.ext_p, ext_q=v.ext_q,
+                        td=v.td, sodo=v.sodo, lm_invdepth=v.lm_invdepth)
+
+
 # Ceres Solver default termination criteria (ic_gvins runs stock Ceres):
 FUNCTION_TOLERANCE = 1e-6  # |cost drop| < tol * cost on an accepted step
 PARAMETER_TOLERANCE = 1e-8  # max |dx| below this
@@ -80,8 +106,14 @@ def lm_run(
         return (it < iters) & ~done
 
     def body(carry):
-        it, _, win, lam, cost, naccept = carry
-        Hxx, gx, Hxl, hll, gl, cost_cur = assemble_blocks(
+        it, _, v, lam, cost_cur, naccept = carry
+        # rebuild the full window from the loop-invariant template +
+        # mutable vars; the invariant leaves are closed over, not carried
+        win = _set_vars(window, v)
+        # the carry's cost IS the robust cost at `win` (established by
+        # cost_init / the previous iteration's probe), so the assemble
+        # cost output is unused and DCE'd by XLA
+        Hxx, gx, Hxl, hll, gl, _ = assemble_blocks(
             win, prior, cfg, params, flags, axis_name=axis_name
         )
         dx_x, dx_l = schur_solve_blocks(
@@ -92,8 +124,8 @@ def lm_run(
         cost_new = robust_cost(win_new, prior, cfg, params, flags,
                                axis_name=axis_name)
         accept = cost_new < cost_cur
-        win_out = jax.tree.map(
-            lambda a, b: jnp.where(accept, a, b), win_new, win
+        v_out = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), _get_vars(win_new), v
         )
         lam_out = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10), lam * 4.0)
         cost_out = jnp.where(accept, cost_new, cost_cur)
@@ -106,18 +138,18 @@ def lm_run(
             dx_max = jax.lax.pmax(dx_max, axis_name)
         converged = converged | (dx_max < PARAMETER_TOLERANCE)
         stuck = lam_out > LAMBDA_MAX
-        return (it + 1, converged | stuck, win_out, lam_out, cost_out,
+        return (it + 1, converged | stuck, v_out, lam_out, cost_out,
                 naccept + accept.astype(jnp.int32))
 
     cost_init = robust_cost(window, prior, cfg, params, flags,
                             axis_name=axis_name)
-    it, _, win, lam, cost, naccept = jax.lax.while_loop(
+    it, _, v, lam, cost, naccept = jax.lax.while_loop(
         cond, body,
-        (jnp.asarray(0, jnp.int32), jnp.asarray(False), window,
+        (jnp.asarray(0, jnp.int32), jnp.asarray(False), _get_vars(window),
          jnp.asarray(lam0, dtype), cost_init, jnp.asarray(0, jnp.int32)),
     )
-    return win, LMStats(cost0=cost_init, cost1=cost, lam=lam,
-                        accepted=naccept, iters_run=it)
+    return _set_vars(window, v), LMStats(cost0=cost_init, cost1=cost, lam=lam,
+                                         accepted=naccept, iters_run=it)
 
 
 def chi2_cull(window: Window, cfg: SolverConfig, axis_name: str | None = None):
