@@ -117,6 +117,7 @@ def urban_route(
     stop_prob: float = 0.30,
     dwell_range: tuple[float, float] = (8.0, 20.0),
     uturn_prob: float = 0.08,
+    initial_dwell: float = 8.0,
 ) -> UrbanRoute:
     """Plan a deterministic urban drive until ``duration`` is covered.
 
@@ -136,7 +137,10 @@ def urban_route(
         segs.append((kind, v0, v1, omega, dur))
         t += dur
 
-    # pull away from rest at the start
+    # static start (leveling/bias initialization window, like the
+    # reference's datasets), then pull away from rest
+    if initial_dwell > 0:
+        add(0, 0.0, 0.0, 1.0, initial_dwell)
     add(0, 0.0, turn_speed, 1.0, 6.0)
     v_cur = turn_speed
     while t < duration:

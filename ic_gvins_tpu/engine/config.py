@@ -72,6 +72,12 @@ class EngineConfig:
     # --- promoted constants (ic_gvins.h:120-141, misc.h, mappoint.h) ---
     gravity: float = 9.80  # NORMAL_GRAVITY
     min_align_velocity: float = 0.5  # m/s, GNSS/INS moving alignment
+    # Max acceptable heading std (rad) implied by the GNSS velocity vector
+    # before moving alignment is allowed: atan(sigma_v/|v_h|) must be below
+    # this, else initialization waits for more speed. TPU-build hardening —
+    # the reference aligns at any speed >= 0.5 m/s and pins the resulting
+    # (possibly garbage) heading under a fixed 1.5 deg prior.
+    align_max_heading_std: float = 5.0 * D2R
     min_sync_interval: float = 0.025  # s
     max_preint_length: float = 10.0  # s
     min_time_interval: float = 1e-4  # s

@@ -345,6 +345,11 @@ class Estimator:
         self.origin = np.zeros(3, np.float64)
         self.n_recenters = 0  # instrumentation: window shifts (f32 guard)
         self._mech_cache = (None, None, None)  # (t, state obj, result)
+        # alignment state cached across initialization attempts (parity
+        # with the reference's static bg/initatt/is_has_zero_velocity,
+        # ic_gvins.cc:640-660): leveling results survive until motion
+        self._align_bg: np.ndarray | None = None
+        self._align_rollpitch: tuple | None = None
         thr = cfg.recenter_threshold
         if thr is None:
             thr = 0.0 if jax.config.jax_enable_x64 else 20.0
@@ -493,7 +498,7 @@ class Estimator:
         if len(self.gnss_queue) < 2:
             return
         t0, p0, _ = self.gnss_queue[-2]
-        t1, p1, _ = self.gnss_queue[-1]
+        t1, p1, g1std = self.gnss_queue[-1]
         if not self.imu.time or self.imu.time[-1] < t1 or self.imu.time[0] > t0:
             return
 
@@ -534,21 +539,53 @@ class Estimator:
             np.linalg.norm(vel_gnss) < 0.5 * cfg.min_align_velocity
         )
         if is_zv:
-            bg = mean[:3] * rate  # increments -> rate
+            # Static interval: estimate the gyro biases and LEVEL roll/
+            # pitch, remember them, and WAIT for motion — heading is
+            # unobservable at standstill, so initializing here would pin
+            # an arbitrary yaw under the tight attitude prior (the exact
+            # reference flow: bg/leveling cached under
+            # ``is_has_zero_velocity``, then ``return false`` until a
+            # moving interval aligns yaw, ic_gvins.cc:644-686).
             fb = mean[3:] * rate
-            pitch = math.asin(np.clip(fb[0] / g, -1, 1))
-            roll = math.atan2(-fb[1], -fb[2])
-            yaw = 0.0
-            vel = np.zeros(3)
+            self._align_bg = mean[:3] * rate  # increments -> rate
+            self._align_rollpitch = (
+                math.atan2(-fb[1], -fb[2]),
+                math.asin(np.clip(fb[0] / g, -1, 1)),
+            )
+            return
+
+        hv = np.linalg.norm(vel_gnss[:2])
+        if hv < cfg.min_align_velocity:
+            return  # not enough motion to align heading
+        # Noise-adaptive alignment (TPU-build hardening beyond the
+        # reference): the GNSS velocity vector carries per-axis noise
+        # sigma_v = sqrt(2)*sigma_p/dt, so the derived heading/pitch are
+        # only good to ~atan(sigma_v/hv). The reference trusts them with a
+        # fixed 0.5/1.5 deg prior regardless of speed (constructPrior,
+        # ic_gvins.cc:2003-2038) — measured here to diverge km-scale on a
+        # slow pull-away with realistic 0.2 m fixes (the tight prior pins
+        # the wrong attitude, the optimizer bends the window through a
+        # fake gyro bias, and the chi2 ratchet then disables honest GNSS).
+        # Instead: (a) wait until the implied heading std is below
+        # ``align_max_heading_std``; (b) open the attitude prior to the
+        # actual information content.
+        sigma_vh = math.sqrt(2.0) * float(np.mean(g1std[:2])) / (t1 - t0)
+        yaw_err = math.atan2(sigma_vh, hv)
+        if yaw_err > cfg.align_max_heading_std:
+            return  # too slow for the fix noise: heading would be garbage
+        sigma_vz = math.sqrt(2.0) * float(g1std[2]) / (t1 - t0)
+        yaw = math.atan2(vel_gnss[1], vel_gnss[0])
+        vel = vel_gnss
+        if self._align_rollpitch is not None:
+            # leveled attitude from an earlier static interval (parity
+            # ``is_has_zero_velocity``/``initatt``, ic_gvins.cc:640-679)
+            roll, pitch = self._align_rollpitch
+            pitch_err = 0.0
         else:
-            if np.linalg.norm(vel_gnss[:2]) < cfg.min_align_velocity:
-                return  # not enough motion to align heading
-            bg = np.zeros(3)
-            yaw = math.atan2(vel_gnss[1], vel_gnss[0])
-            hv = np.linalg.norm(vel_gnss[:2])
-            pitch = math.atan2(-vel_gnss[2], hv)
             roll = 0.0
-            vel = vel_gnss
+            pitch = math.atan2(-vel_gnss[2], hv)
+            pitch_err = math.atan2(sigma_vz, hv)
+        bg = self._align_bg if self._align_bg is not None else np.zeros(3)
 
         q = np.asarray(rot.euler_to_quat(jnp.array([roll, pitch, yaw])))
         r_bn = np.asarray(rot.quat_to_matrix(jnp.asarray(q)))
@@ -564,25 +601,33 @@ class Estimator:
         )
         self._append_node(state0, is_kf=False)
         w = self.window
-        _, _, gstd = self.gnss_queue[-1]
         self.window = w._replace(
             gnss_p=w.gnss_p.at[0].set(jnp.asarray(p1)),
-            gnss_std=w.gnss_std.at[0].set(jnp.asarray(gstd)),
-            gnss_std_base=w.gnss_std_base.at[0].set(jnp.asarray(gstd)),
+            gnss_std=w.gnss_std.at[0].set(jnp.asarray(g1std)),
+            gnss_std_base=w.gnss_std_base.at[0].set(jnp.asarray(g1std)),
             gnss_valid=w.gnss_valid.at[0].set(True),
         )
 
         # initialization prior (constructPrior, ic_gvins.cc:2003-2038)
+        leveled = self._align_rollpitch is not None
         bg_std = (
-            float(self.params.gyr_bias_std) * 3 if is_zv else self.cfg.gyr_bias_prior_std
+            float(self.params.gyr_bias_std) * 3 if leveled
+            else self.cfg.gyr_bias_prior_std
         )
-        # Attitude prior 0.5 deg roll/pitch, 3x for heading — the reference's
-        # constructPrior values (ic_gvins.cc:2005-2036). A *tight* prior is
-        # deliberate: a loose heading prior lets the optimizer fall into the
-        # local minimum where yaw freezes and the z gyro bias absorbs the
-        # whole yaw rate.
-        pose_std = jnp.array([0.1, 0.1, 0.1, 0.5 * D2R, 0.5 * D2R, 1.5 * D2R])
-        mix_std = jnp.array([0.1] * 3 + [bg_std] * 3 + [self.cfg.acc_bias_prior_std] * 3)
+        # Attitude prior: the reference's 0.5 deg roll/pitch (1.5 deg
+        # heading) when leveling provided them; opened to the actual
+        # GNSS-velocity information content otherwise (see the alignment
+        # gate above). Kept as tight as honestly possible: a needlessly
+        # loose heading prior lets the optimizer fall into the local
+        # minimum where yaw freezes and the z gyro bias absorbs the whole
+        # yaw rate.
+        roll_std = 0.5 * D2R if leveled else 2.0 * D2R
+        pitch_std = max(0.5 * D2R, pitch_err)
+        yaw_std = max(1.5 * D2R, yaw_err)
+        vel_std = max(0.1, sigma_vh)
+        pose_std = jnp.array([0.1, 0.1, 0.1, roll_std, pitch_std, yaw_std])
+        mix_std = jnp.array([vel_std] * 3 + [bg_std] * 3
+                            + [self.cfg.acc_bias_prior_std] * 3)
         self.prior = make_init_prior(self.window, pose_std, mix_std)
 
         self.cur_state = state0
@@ -591,8 +636,9 @@ class Estimator:
         self.state = INITIALIZING_INS
         from ..common.logging import LOGI
 
-        LOGI(f"GNSS/INS initialized at t={t1:.3f} "
-             f"({'static' if is_zv else 'moving'} alignment)")
+        LOGI(f"GNSS/INS initialized at t={t1:.3f} (moving alignment, "
+             f"{'leveled' if leveled else 'GNSS-derived'} roll/pitch, "
+             f"yaw std {yaw_std / D2R:.1f} deg)")
 
     # ------------------------------------------------------------------
     # node management

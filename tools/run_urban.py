@@ -229,14 +229,18 @@ def replay(args):
             times, ps, _ = est.trajectory()
             err = (float(np.linalg.norm(ps[-1] - truth_at(times[-1])[0]))
                    if len(times) else None)
-            Hp = np.asarray(est.prior.H, np.float64)
-            w = np.linalg.eigvalsh(0.5 * (Hp + Hp.T))
-            nzw = w[w > 1e-6]
-            prior_spectra.append(dict(
-                t=round(t, 1),
-                eig_max=float(nzw.max()) if nzw.size else 0.0,
-                eig_min=float(nzw.min()) if nzw.size else 0.0,
-                rank=int(nzw.size)))
+            try:
+                Hp = np.asarray(est.prior.H, np.float64)
+                w = np.linalg.eigvalsh(np.nan_to_num(0.5 * (Hp + Hp.T)))
+                nzw = w[w > 1e-6]
+                prior_spectra.append(dict(
+                    t=round(t, 1),
+                    eig_max=float(nzw.max()) if nzw.size else 0.0,
+                    eig_min=float(nzw.min()) if nzw.size else 0.0,
+                    rank=int(nzw.size)))
+            except np.linalg.LinAlgError:
+                prior_spectra.append(dict(t=round(t, 1), eig_max=None,
+                                          eig_min=None, rank=-1))
             rec = dict(
                 sim_t=round(t, 1), wall_s=round(time.time() - wall0, 1),
                 err_m=round(err, 3) if err is not None else None,
