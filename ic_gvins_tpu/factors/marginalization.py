@@ -43,6 +43,75 @@ def _eigh_pinv(A):
     return (v * w_inv[None, :]) @ v.T
 
 
+def _schur_eliminate_scaled(H1, g1, k: int):
+    """Schur-eliminate the leading k dims of (H1, g1) with Jacobi
+    pre-scaling — algebraically identical to the plain elimination, but
+    the pinv operates on a unit-diagonal block whose conditioning is the
+    correlation structure instead of the raw information spread.
+
+    Unscaled, the node-0 block mixes ~1e2 (GNSS-pose) with ~1e9
+    (preintegration bias-link) information; an f32 eigh of that matrix
+    has garbage small eigenvectors and the reference's ABSOLUTE 1e-8
+    eigenvalue gate (``marginalization_info.h:180``) keeps all of them —
+    measured on the urban endurance replay as km-scale divergence
+    starting at the FIRST marginalization in f32 (the prior's bias
+    gradient comes out wrong and the chi2 ratchet then disables honest
+    GNSS). The scaled elimination with a RELATIVE gate is exact in f64
+    and stable in f32."""
+    dtype = H1.dtype
+    dH = jnp.diag(H1)
+    floor = 1e-12 * jnp.maximum(jnp.max(dH), 1.0)
+    s = 1.0 / jnp.sqrt(jnp.maximum(dH, floor))
+    Hs = H1 * s[:, None] * s[None, :]
+    gs = g1 * s
+
+    A = 0.5 * (Hs[:k, :k] + Hs[:k, :k].T)
+    B = Hs[:k, k:]
+    w, v = jnp.linalg.eigh(A)
+    rel = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-5, dtype)
+    gate = rel * jnp.maximum(jnp.max(w), 1.0)
+    w_inv = jnp.where(w > gate, 1.0 / jnp.where(w > gate, w, 1.0), 0.0)
+    a_inv = (v * w_inv[None, :]) @ v.T
+
+    Hp_s = Hs[k:, k:] - B.T @ a_inv @ B
+    gp_s = gs[k:] - B.T @ (a_inv @ gs[:k])
+
+    if dtype != jnp.float64:
+        # PSD projection (f32 execution path only — f64 priors measured
+        # exactly PSD): accumulated f32 rounding across slides leaves the
+        # prior with NEGATIVE eigenvalues (measured: scaled eig_min -0.02
+        # steady state, down to -2.9 in the init transient). An indefinite
+        # prior hands LM a genuine descent direction of the COST — steps
+        # along it are accepted, the next marginalization bakes them in,
+        # and the bias runs away exponentially (the urban f32 failure at
+        # t~52: ba doubling per round). Clip the negative part and remove
+        # g's component in the clipped subspace (a linear term over zero
+        # curvature would be an unbounded descent direction all the same).
+        # Matmul-only clip: P+ = (I + sign(H))/2 via the Newton-Schulz
+        # sign iteration — an f32 eigh here measured 8 ms/round on v5e
+        # (marginalize 6 -> 14 ms, headline 95 -> 83 fps); the 18-step
+        # sign iteration is ~70 batched [D,D] matmuls at ~0.1 ms total
+        # and resolves |lambda|/rho >= ~5e-4, far below the measured
+        # -3e-3 relative garbage; unresolved near-zero negatives are
+        # strictly shrunk (lambda*(1+s)/2 with |s|<1), not amplified.
+        Hp_sym = 0.5 * (Hp_s + Hp_s.T)
+        c = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Hp_sym), axis=-1)), 1e-6)
+        Y = Hp_sym / c
+        eye = jnp.eye(Y.shape[0], dtype=dtype)
+
+        def ns(Y, _):
+            return 1.5 * Y - 0.5 * Y @ Y @ Y, None
+
+        Y, _ = jax.lax.scan(ns, Y, None, length=18)
+        Pplus = 0.5 * (eye + Y)
+        Hp_s = 0.5 * (Hp_sym @ Pplus + Pplus.T @ Hp_sym)
+        Hp_s = 0.5 * (Hp_s + Hp_s.T)
+        gp_s = Pplus @ gp_s
+
+    s2 = s[k:]
+    return Hp_s / (s2[:, None] * s2[None, :]), gp_s / s2
+
+
 def _marg_blocks(window: Window, prior: Prior, cfg, params: IntegrationParams,
                  include_prior: bool = True):
     """Schur-structured blocks ``(Hxx, gx, Hxl, hll, gl)`` from only the
@@ -129,13 +198,9 @@ def marginalize_node0(window: Window, prior: Prior, cfg, params,
     H1 = Hxx - (Hxl / hll_safe[None, :]) @ Hxl.T
     g1 = gx - (Hxl / hll_safe[None, :]) @ gl
 
-    # --- step 2: eliminate node 0 (15x15 block, eigen-pinv for rank
-    # safety — trivial at this size) ---
-    A = H1[:NODE_DOF, :NODE_DOF]
-    B = H1[:NODE_DOF, NODE_DOF:]
-    a_inv = _eigh_pinv(A)
-    Hp = H1[NODE_DOF:, NODE_DOF:] - B.T @ a_inv @ B
-    gp = g1[NODE_DOF:] - B.T @ (a_inv @ g1[:NODE_DOF])
+    # --- step 2: eliminate node 0 (15x15 block, Jacobi-scaled eigen-pinv
+    # for rank safety AND f32 stability — see _schur_eliminate_scaled) ---
+    Hp, gp = _schur_eliminate_scaled(H1, g1, NODE_DOF)
 
     # embed back at the full state layout (node-0 rows/cols zero)
     f = jnp.asarray(forgetting, dtype)
