@@ -78,6 +78,10 @@ class EngineConfig:
     # the reference aligns at any speed >= 0.5 m/s and pins the resulting
     # (possibly garbage) heading under a fixed 1.5 deg prior.
     align_max_heading_std: float = 5.0 * D2R
+    # Vision joins only once the GINS phase is measurably steady (last 3
+    # newest-node GNSS chi2 vs base std < 7.815) in addition to the
+    # initlength count — see Estimator._dispatch_frame.
+    vio_join_require_steady: bool = True
     min_sync_interval: float = 0.025  # s
     max_preint_length: float = 10.0  # s
     min_time_interval: float = 1e-4  # s

@@ -345,6 +345,10 @@ class Estimator:
         self.origin = np.zeros(3, np.float64)
         self.n_recenters = 0  # instrumentation: window shifts (f32 guard)
         self._mech_cache = (None, None, None)  # (t, state obj, result)
+        # GINS steadiness monitor: chi2 of the newest GNSS residual after
+        # each GINS-phase round (vs the BASE std); vision joins only once
+        # the recent history is normal (see _dispatch_frame)
+        self._gins_chi2: list[float] = []
         # alignment state cached across initialization attempts (parity
         # with the reference's static bg/initatt/is_has_zero_velocity,
         # ic_gvins.cc:640-660): leveling results survive until motion
@@ -914,6 +918,20 @@ class Estimator:
             # (preintegrationlist >= initlength, ic_gvins.cc:443-446)
             if self.n_nodes - 1 < max(1, int(self.cfg.initlength)):
                 return
+            # ... AND the GINS solution is actually steady (TPU-build
+            # hardening): joining while the GINS transient is still
+            # settling creates landmark anchors/depths from a wrong pose;
+            # in f32 the resulting culling churn was measured to tip the
+            # chi2 ratchet into a runaway (urban replay: 4 m at join ->
+            # 120 m by t=60), while a converged join stays bounded. The
+            # reference relies on the operator tuning `initlength` per
+            # dataset; this gate measures convergence directly (last 3
+            # GNSS residuals vs BASE std below the 3-dof 95% gate).
+            if self.cfg.vio_join_require_steady and not (
+                len(self._gins_chi2) >= 3
+                and all(c < 7.815 for c in self._gins_chi2)
+            ):
+                return
             self.state = INITIALIZING_VIO
         ids = list(map(int, ids))
         uv = np.asarray(uv, np.float64)
@@ -1238,6 +1256,18 @@ class Estimator:
         self._maybe_reintegrate()
         # refresh mechanization origin from the newest optimized node
         self.last_node_state = self.window.nodes.index(self.n_nodes - 1)
+        if self.state == INITIALIZING_INS:
+            gv = self._npw("gnss_valid")
+            if gv.any():
+                k = int(np.nonzero(gv)[0][-1])
+                r = (
+                    self._npw("nodes.p")[k]
+                    + _np_quat_rotate(self._npw("nodes.q")[k],
+                                      np.asarray(self.cfg.antlever))
+                    - self._npw("gnss_p")[k]
+                ) / np.maximum(self._npw("gnss_std_base")[k], 1e-6)
+                self._gins_chi2.append(float(r @ r))
+                del self._gins_chi2[:-3]
         self._log_pose()
 
         # second-new keyframe: after contributing one round, its node is

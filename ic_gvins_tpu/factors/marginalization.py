@@ -61,8 +61,24 @@ def _schur_eliminate_scaled(H1, g1, k: int):
     dtype = H1.dtype
     dH = jnp.diag(H1)
     floor = 1e-12 * jnp.maximum(jnp.max(dH), 1.0)
-    s = 1.0 / jnp.sqrt(jnp.maximum(dH, floor))
+    # dims with (near-)zero diagonal carry no information — any off-
+    # diagonal content there is rounding garbage, and the 1/sqrt(floor)
+    # scaling would amplify it into enormous spurious couplings (measured
+    # as ~1e15-scale indefiniteness of the resulting prior in f32 vision
+    # runs). Excise those rows/cols end to end.
+    present = (dH > floor).astype(dtype)
+    s = present / jnp.sqrt(jnp.maximum(dH, floor))
     Hs = H1 * s[:, None] * s[None, :]
+    # Correlation-bound clamp: any PSD matrix satisfies |H_ij| <=
+    # sqrt(H_ii H_jj), i.e. |Hs_ij| <= 1 (diag(Hs) is exactly 1/0 by
+    # construction). f32 cancellation garbage lands in ABSOLUTE terms
+    # (~eps * intermediate magnitude) regardless of the entry's true
+    # scale, so on dims with small diagonal the scaled garbage dwarfs the
+    # legit structure (measured: scaled couplings up to ~1e5, which also
+    # blows the sign-iteration's spectral normalization so the projection
+    # below stops resolving them). The clip is exact for any true PSD
+    # input and crushes the garbage to O(1).
+    Hs = jnp.clip(Hs, -1.0, 1.0)
     gs = g1 * s
 
     A = 0.5 * (Hs[:k, :k] + Hs[:k, :k].T)
@@ -87,29 +103,34 @@ def _schur_eliminate_scaled(H1, g1, k: int):
         # t~52: ba doubling per round). Clip the negative part and remove
         # g's component in the clipped subspace (a linear term over zero
         # curvature would be an unbounded descent direction all the same).
-        # Matmul-only clip: P+ = (I + sign(H))/2 via the Newton-Schulz
-        # sign iteration — an f32 eigh here measured 8 ms/round on v5e
-        # (marginalize 6 -> 14 ms, headline 95 -> 83 fps); the 18-step
-        # sign iteration is ~70 batched [D,D] matmuls at ~0.1 ms total
-        # and resolves |lambda|/rho >= ~5e-4, far below the measured
-        # -3e-3 relative garbage; unresolved near-zero negatives are
-        # strictly shrunk (lambda*(1+s)/2 with |s|<1), not amplified.
+        # The projection must be EXACT: an approximate (Newton-Schulz
+        # sign-iteration) clip was measured to leave scaled residuals
+        # ~1e-3 on near-eliminated directions, which the unscale turns
+        # into O(1e4)-magnitude negative diagonals on dims whose
+        # pre-elimination information was large (their legit post-Schur
+        # info is ~0, so the residual dominates). Thanks to the
+        # correlation clamp above, the scaled matrix is O(1)-bounded and
+        # the f32 eigh is well-conditioned.
+        # The gate is RELATIVE and applied to g as well: a direction with
+        # near-zero (noise-level) curvature but a nonzero gradient is a
+        # CONSTANT force with no restoring stiffness — the optimizer
+        # settles where that force balances the measurements (measured as
+        # a fake equilibrium ~38 m from full-weight GNSS, growing every
+        # slide). In exact arithmetic g has no component outside range(H)
+        # (the PSD Schur range condition); in f32 it's all noise, so both
+        # H and g are truncated to the numerically-supported subspace.
+        # Dropping a borderline-legit weak direction merely weakens the
+        # prior (consistency-safe); keeping a spurious gradient is not.
         Hp_sym = 0.5 * (Hp_s + Hp_s.T)
-        c = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Hp_sym), axis=-1)), 1e-6)
-        Y = Hp_sym / c
-        eye = jnp.eye(Y.shape[0], dtype=dtype)
+        w2, v2 = jnp.linalg.eigh(Hp_sym)
+        gate = 1e-5 * jnp.maximum(jnp.max(w2), 1e-30)
+        keep = (w2 > gate).astype(dtype)
+        Hp_s = (v2 * (w2 * keep)[None, :]) @ v2.T
+        gp_s = v2 @ (keep * (v2.T @ gp_s))
 
-        def ns(Y, _):
-            return 1.5 * Y - 0.5 * Y @ Y @ Y, None
-
-        Y, _ = jax.lax.scan(ns, Y, None, length=18)
-        Pplus = 0.5 * (eye + Y)
-        Hp_s = 0.5 * (Hp_sym @ Pplus + Pplus.T @ Hp_sym)
-        Hp_s = 0.5 * (Hp_s + Hp_s.T)
-        gp_s = Pplus @ gp_s
-
-    s2 = s[k:]
-    return Hp_s / (s2[:, None] * s2[None, :]), gp_s / s2
+    # unscale (multiply by sqrt(diag)); absent dims stay exactly zero
+    u2 = (present * jnp.sqrt(jnp.maximum(dH, floor)))[k:]
+    return Hp_s * u2[:, None] * u2[None, :], gp_s * u2
 
 
 def _marg_blocks(window: Window, prior: Prior, cfg, params: IntegrationParams,
@@ -201,6 +222,22 @@ def marginalize_node0(window: Window, prior: Prior, cfg, params,
     # --- step 2: eliminate node 0 (15x15 block, Jacobi-scaled eigen-pinv
     # for rank safety AND f32 stability — see _schur_eliminate_scaled) ---
     Hp, gp = _schur_eliminate_scaled(H1, g1, NODE_DOF)
+
+    if dtype != jnp.float64:
+        # f32 execution path: carry the full Schur INFORMATION (H — the
+        # cross-node structure that wins the outage/calibration A/Bs) but
+        # anchor the prior MEAN at the marginalized estimate (g = 0).
+        # The exact marginal gradient is a ~1e3-1e4-magnitude quantity
+        # computed through 1e6-scale f32 cancellations (H·dx terms); its
+        # ~1e-4-relative noise lands as CONSTANT forces in the prior's
+        # weak directions, and the window settles where those forces
+        # balance the measurements — measured as a growing offset from
+        # full-weight GNSS (~tens of meters over 60 s urban). Zeroing g
+        # (the estimate-anchored / information-filter approximation)
+        # trades a small converged-window bias for the elimination of
+        # every spurious-force path. The f64 validation path keeps the
+        # exact gradient (reference parity).
+        gp = jnp.zeros_like(gp)
 
     # embed back at the full state layout (node-0 rows/cols zero)
     f = jnp.asarray(forgetting, dtype)

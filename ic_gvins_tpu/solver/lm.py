@@ -166,13 +166,28 @@ def chi2_cull(window: Window, cfg: SolverConfig, axis_name: str | None = None):
     bad fix -> lower chi2 -> more weight -> more drag). Data picked the
     reference behavior.
     """
-    # non-compounding variant: evaluate chi2 against the BASE std so the
-    # scale is recomputed fresh each round (overridden below when the
-    # default chi2_compound=True reference-parity ratchet is active)
+    # Majority guard (TPU-build hardening beyond the reference): when MOST
+    # valid fixes exceed the gate simultaneously, the fault is the STATE
+    # (a transient / dead-reckoning error), not the sensors — inflating
+    # every fix then removes the only measurements that could pull the
+    # state back, and with the compounding ratchet the deweighting is
+    # permanent (measured as the f32 urban death spiral: err -> chi2 up ->
+    # all stds ratchet -> free-inertial drift -> err up). Outlier culling
+    # is for MINORITY outliers; a majority violation skips the reweight
+    # this round.
+    from .assembly import gnss_mask
+
+    gm = gnss_mask(window)
     base = window._replace(gnss_std=window.gnss_std_base)
     r_g, _ = eval_gnss(base, cfg)
     chi_g = jnp.sum(r_g**2, axis=-1)
+    n_valid = jnp.maximum(jnp.sum(gm), 1)
+    majority_bad = jnp.sum(gm & (chi_g > 7.815)) * 2 > n_valid
+    # non-compounding variant: evaluate chi2 against the BASE std so the
+    # scale is recomputed fresh each round (overridden below when the
+    # default chi2_compound=True reference-parity ratchet is active)
     scale = jnp.sqrt(jnp.clip(chi_g / 7.815, 1.0, 1e8))
+    scale = jnp.where(majority_bad, 1.0, scale)
     gnss_std = window.gnss_std_base * scale[:, None]
     if cfg.chi2_compound is not None:
         # reference-parity compounding variant (A/B-testable): evaluate at
@@ -181,6 +196,7 @@ def chi2_cull(window: Window, cfg: SolverConfig, axis_name: str | None = None):
         r_gc, _ = eval_gnss(window, cfg)
         chi_c = jnp.sum(r_gc**2, axis=-1)
         scale_c = jnp.sqrt(jnp.maximum(chi_c / 7.815, 1.0))
+        scale_c = jnp.where(majority_bad, 1.0, scale_c)
         gnss_std = jnp.where(
             cfg.chi2_compound, window.gnss_std * scale_c[:, None], gnss_std
         )

@@ -1,0 +1,78 @@
+"""f32 endurance proxy (VERDICT r3 #8): a >=300 s urban GINS replay in f32
+vs f64 on identical sensors, asserting bounded accuracy AND bounded
+f32-vs-f64 trajectory divergence across dozens of recenters and hundreds
+of marginalizations.
+
+This is the CI-sized stand-in for the full urban-scale endurance replay
+(tools/run_urban.py at 2154 s / ~12 km, committed as a run artifact): the
+same route generator, the same engine path, downsampled rates.
+
+Runs in subprocesses: x64 is process-global JAX config, and fresh
+processes bound XLA:CPU compile accumulation.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DURATION = 300.0
+
+
+def _run(outdir, sensors, f32):
+    cmd = [
+        sys.executable, os.path.join(ROOT, "tools", "run_urban.py"),
+        "--duration", str(DURATION), "--no-vision",
+        "--imu-rate", "50", "--gnss-std", "0.2",
+        "--out", outdir, "--sensors", sensors,
+        "--checkpoint-every", "1e9",
+    ]
+    if f32:
+        cmd.append("--f32")
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400,
+                         cwd=ROOT)
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    with open(os.path.join(outdir, "result.json")) as f:
+        return json.load(f)
+
+
+def test_f32_longrun_tracks_f64():
+    with tempfile.TemporaryDirectory() as d:
+        d32, d64 = os.path.join(d, "f32"), os.path.join(d, "f64")
+        os.makedirs(d32)
+        os.makedirs(d64)
+        sensors = os.path.join(d, "sensors.npz")
+        r32 = _run(d32, sensors, f32=True)   # generates sensors on 1st call
+        r64 = _run(d64, sensors, f32=False)
+
+        # both modes hold the GNSS noise floor over the full 300 s
+        assert r64["ate_rmse_m"] < 0.6, r64["ate_rmse_m"]
+        assert r32["ate_rmse_m"] < 0.8, r32["ate_rmse_m"]
+        assert r32["ate_max_m"] < 3.0, r32["ate_max_m"]
+
+        # the endurance regime is actually exercised: many recenters (f32
+        # path) and hundreds of window slides
+        assert r32["n_recenters"] >= 10, r32["n_recenters"]
+        assert r32["prior_eig_min"] >= 0.0, r32["prior_eig_min"]
+
+        # f32 trajectory stays near the f64 one (same sensors): interp
+        # both onto common times and bound the divergence
+        t32 = np.load(os.path.join(d32, "trajectory.npz"))
+        t64 = np.load(os.path.join(d64, "trajectory.npz"))
+        ts = t32["times"]
+        p32 = t32["est_p"][np.isin(t32["est_t"], ts)]
+        div = []
+        for i in range(3):
+            p64_i = np.interp(ts, t64["est_t"], t64["est_p"][:, i])
+            div.append(p32[:, i] - p64_i)
+        div = np.linalg.norm(np.stack(div, -1), axis=1)
+        # bound: f32 may differ by the estimator's own noise level but
+        # must not drift away (the pre-fix failure was km-scale here)
+        assert float(np.sqrt(np.mean(div**2))) < 1.0, div.max()
+        assert float(div.max()) < 3.0, div.max()
