@@ -78,10 +78,20 @@ class EngineConfig:
     # the reference aligns at any speed >= 0.5 m/s and pins the resulting
     # (possibly garbage) heading under a fixed 1.5 deg prior.
     align_max_heading_std: float = 5.0 * D2R
-    # Vision joins only once the GINS phase is measurably steady (last 3
-    # newest-node GNSS chi2 vs base std < 7.815) in addition to the
-    # initlength count — see Estimator._dispatch_frame.
+    # Liveness fallback for the gate above: after this many rejected
+    # moving-alignment attempts (platform never fast enough for the fix
+    # noise), initialize anyway with the honestly-widened attitude prior
+    # instead of waiting forever (advisor r4, estimator.py:578).
+    align_max_rejects: int = 20
+    # Vision joins only once the GINS phase is measurably steady (the
+    # available newest-node GNSS chi2 history, up to the last 3 rounds,
+    # all < 7.815 vs the base std) in addition to the initlength count —
+    # see Estimator._dispatch_frame. The wait is bounded: after
+    # vio_join_max_wait_rounds blocked attempts the join is forced so a
+    # persistently-elevated chi2 (miscalibrated GNSS stds, multipath)
+    # cannot keep the estimator GINS-only forever.
     vio_join_require_steady: bool = True
+    vio_join_max_wait_rounds: int = 10
     min_sync_interval: float = 0.025  # s
     max_preint_length: float = 10.0  # s
     min_time_interval: float = 1e-4  # s

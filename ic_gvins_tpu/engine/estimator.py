@@ -349,6 +349,9 @@ class Estimator:
         # each GINS-phase round (vs the BASE std); vision joins only once
         # the recent history is normal (see _dispatch_frame)
         self._gins_chi2: list[float] = []
+        self._vio_join_waits = 0  # rounds the steadiness gate has blocked
+        self._align_rejects = 0  # moving alignments rejected by the
+        # heading-std gate (liveness fallback, see _try_initialize)
         # alignment state cached across initialization attempts (parity
         # with the reference's static bg/initatt/is_has_zero_velocity,
         # ic_gvins.cc:640-660): leveling results survive until motion
@@ -576,7 +579,17 @@ class Estimator:
         sigma_vh = math.sqrt(2.0) * float(np.mean(g1std[:2])) / (t1 - t0)
         yaw_err = math.atan2(sigma_vh, hv)
         if yaw_err > cfg.align_max_heading_std:
-            return  # too slow for the fix noise: heading would be garbage
+            # Too slow for the fix noise: heading would be garbage.  But a
+            # platform that NEVER exceeds the implied speed (rover, cart)
+            # must still initialize eventually (liveness vs the
+            # reference's unconditional 0.5 m/s gate): after
+            # align_max_rejects rejected attempts, fall through and
+            # initialize with the honest (widened) attitude prior below —
+            # yaw_std = max(1.5 deg, yaw_err) already encodes the real
+            # information content, so the optimizer is told the truth.
+            self._align_rejects += 1
+            if self._align_rejects <= cfg.align_max_rejects:
+                return
         sigma_vz = math.sqrt(2.0) * float(g1std[2]) / (t1 - t0)
         yaw = math.atan2(vel_gnss[1], vel_gnss[0])
         vel = vel_gnss
@@ -927,11 +940,21 @@ class Estimator:
             # reference relies on the operator tuning `initlength` per
             # dataset; this gate measures convergence directly (last 3
             # GNSS residuals vs BASE std below the 3-dof 95% gate).
+            # Steadiness is judged on the AVAILABLE history (>=1 round, up
+            # to the last 3): a short clean history is a converged GINS,
+            # not a reason to wait for rounds that may never come.  The
+            # wait is BOUNDED (vio_join_max_wait_rounds): persistently
+            # elevated chi2 — optimistic reported stds, urban multipath —
+            # is exactly where vision is most needed, so after K blocked
+            # attempts vision joins anyway rather than staying GINS-only
+            # forever (advisor r4 finding, estimator.py:930).
             if self.cfg.vio_join_require_steady and not (
-                len(self._gins_chi2) >= 3
+                len(self._gins_chi2) >= 1
                 and all(c < 7.815 for c in self._gins_chi2)
             ):
-                return
+                self._vio_join_waits += 1
+                if self._vio_join_waits <= self.cfg.vio_join_max_wait_rounds:
+                    return
             self.state = INITIALIZING_VIO
         ids = list(map(int, ids))
         uv = np.asarray(uv, np.float64)
@@ -1622,6 +1645,10 @@ class Estimator:
             dropped_gnss=self.dropped_gnss,
             origin_blh=self.origin_blh,
             gravity=np.asarray(self.params.gravity),
+            n_recenters=self.n_recenters,
+            gins_chi2=list(self._gins_chi2),
+            align_bg=self._align_bg,
+            align_rollpitch=self._align_rollpitch,
         )
         with open(path, "wb") as f:
             pickle.dump(state, f)
@@ -1672,6 +1699,13 @@ class Estimator:
             self.params = self.params._replace(
                 gravity=jnp.asarray(state["gravity"])
             )
+        # alignment cache + vio-join steadiness history (a resume during
+        # INITIALIZING/INITIALIZING_INS must not lose the static leveling
+        # or reset the steadiness window — advisor r4, estimator.py:1594)
+        self.n_recenters = state.get("n_recenters", 0)
+        self._gins_chi2 = list(state.get("gins_chi2", []))
+        self._align_bg = state.get("align_bg")
+        self._align_rollpitch = state.get("align_rollpitch")
 
     # ------------------------------------------------------------------
     # queries
