@@ -92,6 +92,11 @@ class EngineConfig:
     # cannot keep the estimator GINS-only forever.
     vio_join_require_steady: bool = True
     vio_join_max_wait_rounds: int = 10
+    # Per-frame INS pose prediction on the host (f64 numpy mirror of the
+    # mechanization scan) instead of a device dispatch per camera frame:
+    # over a tunneled chip the dispatch RTT alone exceeds the whole
+    # prediction's host cost. False = always use the device scan.
+    host_predict: bool = True
     min_sync_interval: float = 0.025  # s
     max_preint_length: float = 10.0  # s
     min_time_interval: float = 1e-4  # s

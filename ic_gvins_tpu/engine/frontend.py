@@ -50,7 +50,7 @@ def _prep_program(img, levels: int, use_clahe: bool):
          static_argnames=("levels", "use_clahe", "use_pallas", "fm_ransac"))
 def _track_program(cam, prev_pyr, img, pts, valid,
                    q_prev_wc, q_wc, has_rot, p_wc, lm_pw, lm_ok,
-                   uv_prev, ransac_thr, key,
+                   uv_prev, ransac_thr, frame_idx,
                    levels: int, use_clahe: bool, use_pallas: bool,
                    fm_ransac: bool):
     """The whole per-frame device round fused into ONE program:
@@ -114,6 +114,10 @@ def _track_program(cam, prev_pyr, img, pts, valid,
         # ANDed (the program stays one fixed-shape dispatch per frame)
         to_px = lambda nrm: jnp.stack(
             [cam.fx * nrm[:, 0] + cam.cx, cam.fy * nrm[:, 1] + cam.cy], -1)
+        # key derived IN-program from the frame counter: host-side
+        # PRNGKey/fold_in would each be an extra device dispatch at camera
+        # rate (a full RTT on a tunneled chip)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), frame_idx)
         inl, _ = ransac_mod.fundamental_ransac(
             to_px(uv_prev), to_px(uv1), ok, ransac_thr, key)
         ok = ok & (inl | (ok.sum() < ransac_mod.MIN_POINTS))
@@ -222,7 +226,6 @@ class Frontend:
             q_prev = np.asarray(self.prev_q_wc) if has_rot else qi
             q_cur = np.asarray(q_wc) if q_wc is not None else qi
             p_cur = np.asarray(p_wc) if p_wc is not None else np.zeros(3)
-            key = jax.random.fold_in(jax.random.PRNGKey(0), self.frame_count)
             pyr, pts1_d, ok_d, uv1_d = _track_program(
                 self.cam, self.prev_pyr, img,
                 jnp.asarray(self.pts), jnp.asarray(self.valid),
@@ -230,7 +233,8 @@ class Frontend:
                 jnp.asarray(has_rot), jnp.asarray(p_cur),
                 jnp.asarray(lm_pw), jnp.asarray(lm_ok),
                 jnp.asarray(self.uv_norm),
-                jnp.asarray(self.ransac_threshold), key,
+                jnp.asarray(self.ransac_threshold),
+                jnp.asarray(self.frame_count, jnp.uint32),
                 levels=self.levels, use_clahe=self.use_clahe,
                 use_pallas=self.use_pallas, fm_ransac=self.fm_ransac,
             )

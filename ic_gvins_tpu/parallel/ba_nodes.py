@@ -10,29 +10,35 @@ over a few consecutive keyframes. A replicated dense solve is O((N*15)^3)
 and stops scaling at a few hundred nodes; here the solve itself is
 distributed by one level of nested dissection over the device mesh:
 
-* the node axis is cut into S contiguous chunks (device = chunk); the last
-  node of each chunk is a SEPARATOR, everything else chunk-interior,
+* the node axis is cut into S contiguous chunks (device = chunk); the
+  last ``sep_width`` (=B) nodes of each chunk form a SEPARATOR BAND,
+  everything else chunk-interior,
 * each shard eliminates its landmarks (diagonal divide, exactly as the
   sliding-window solver) and assembles its local state system over its
-  C+1 local nodes (previous separator + own chunk) — all factor evaluation
+  C+B local nodes (previous band + own chunk) — all factor evaluation
   is shard-local,
 * each shard Schur-eliminates its interior block (a local dense Cholesky
-  of (C-1)*15 dims) onto its two separators,
-* the S*15-dim separator system is ``psum``-reduced over the mesh and
-  solved replicated (tiny),
+  of (C-B)*15 dims) onto its two bands,
+* the S*B*15-dim separator system is ``psum``-reduced over the mesh and
+  solved replicated (small),
 * interior and landmark back-substitution stay shard-local.
 
 Per-device factorization work drops from O((N*15)^3) to O((C*15)^3) +
-O((S*15)^3) with only two small collectives per iteration (the separator
-psum) — the TPU-native equivalent of distributed block-tridiagonal
-Cholesky with boundary exchange.
+O((S*B*15)^3) with only two small collectives per iteration (the
+separator psum) — the TPU-native equivalent of distributed
+block-tridiagonal Cholesky with boundary exchange.
 
-Structural contract (asserted by the host-side builder): every factor's
-interior nodes live in ONE chunk. The preintegration chain satisfies this
-for any cut; landmarks whose observation span crosses a cut beyond the
-separator get those observations masked (counted and reported — for
-sequential video with spans ~10 nodes and chunks 32+, a negligible
-fraction; choose ``n_chunks`` so chunks comfortably exceed the span).
+Structural contract (counted and reported by the host-side builder):
+every factor's node clique must fit inside (one chunk interior) union
+(the adjacent separator bands). The preintegration chain satisfies this
+for any cut and any B >= 1. A landmark eliminated from the system creates
+a clique over every node observing it; a clique crossing a cut is fully
+contained once the band is at least as wide as the landmark's forward
+observation span — so with ``sep_width >= max span`` NO observation is
+dropped (the reference never discards measurements,
+``ic_gvins.cc:1516-1644``; VERDICT r4 #7). Observations still outside
+the anchor chunk's local node set (span > sep_width, or backward
+observations before the previous band) are masked and counted.
 
 The camera extrinsic/td are FROZEN here (global BA runs calibrated — the
 sliding-window estimator owns online extrinsic/td refinement).
@@ -78,7 +84,7 @@ class NodesBA(NamedTuple):
     ext_p: jax.Array  # (3,) frozen camera extrinsic
     ext_q: jax.Array  # (4,)
     # landmarks bucketed by anchor chunk; observation node indices are
-    # LOCAL to the chunk's node set [cC-1, (c+1)C) i.e. in [0, C]
+    # LOCAL to the chunk's node set [cC-B, (c+1)C) i.e. in [0, C+B)
     lm_invdepth: jax.Array  # [S, Lp]
     lm_ref_local: jax.Array  # [S, Lp] local anchor node index
     lm_valid: jax.Array  # [S, Lp]
@@ -114,17 +120,25 @@ def build_nodes_ba(
     ext_p, ext_q, reproj_std: float,
     n_chunks: int,
     stencil: int = 16,
+    sep_width: int = 1,
     dtype=None,
 ) -> tuple[NodesBA, int]:
     """Host-side problem builder: chunk the node axis, bucket landmarks by
-    anchor chunk, compress dense observations to the local stencil.
+    anchor position, compress dense observations to the local stencil.
     Returns (problem, n_dropped_obs) — observations outside the anchor
-    chunk's local node set [cC-1, (c+1)C) are dropped and counted."""
+    chunk's local node set [cC-B, (c+1)C) are dropped and counted; with
+    ``sep_width`` >= the maximum forward observation span the count is 0
+    (the band containment argument in the module docstring).
+
+    ``sep_width`` (B) must match the value passed to ``ba_nodes_solve``."""
     N = int(np.asarray(nodes.p).shape[0])
     S = n_chunks
     if N % S != 0:
         raise ValueError(f"n_nodes {N} must divide n_chunks {S}")
     C = N // S
+    B = int(sep_width)
+    if not (1 <= B < C) and S > 1:
+        raise ValueError(f"sep_width {B} must be in [1, chunk {C})")
     L = len(lm_ref)
     dtype = dtype or np.asarray(nodes.p).dtype
 
@@ -145,8 +159,11 @@ def build_nodes_ba(
     g_std = np.asarray(gnss_std).reshape(S, C, 3)
     g_val = np.asarray(gnss_valid).reshape(S, C)
 
-    # --- landmark bucketing by anchor chunk ---
-    anchor_chunk = np.asarray(lm_ref) // C
+    # --- landmark bucketing by anchor position: a landmark anchored in
+    # chunk c's separator band [.. (c+1)C) belongs to chunk c+1 (the band
+    # is c+1's PREVIOUS band, so both the anchor and the forward
+    # observations land inside c+1's local node set) ---
+    anchor_chunk = np.clip((np.asarray(lm_ref) + B) // C, 0, S - 1)
     per_chunk: list[list[int]] = [[] for _ in range(S)]
     for l in range(L):
         per_chunk[int(anchor_chunk[l])].append(l)
@@ -162,7 +179,7 @@ def build_nodes_ba(
     obs_val = np.zeros((S, Lp, W), bool)
     dropped = 0
     for c in range(S):
-        lo, hi = c * C - 1, (c + 1) * C  # local node set [lo, hi)
+        lo, hi = c * C - B, (c + 1) * C  # local node set [lo, hi)
         for slot, l in enumerate(per_chunk[c]):
             a = int(lm_ref[l])
             lm_inv[c, slot] = lm_invdepth[l]
@@ -206,10 +223,10 @@ def build_nodes_ba(
 
 
 class _Shard(NamedTuple):
-    """One chunk's slice of NodesBA plus its local node states [C+1]."""
+    """One chunk's slice of NodesBA plus its local node states [C+B]."""
 
-    loc_nodes: NavState  # [C+1] local node set (prev separator + chunk)
-    loc_valid: jax.Array  # [C+1]
+    loc_nodes: NavState  # [C+B] local node set (prev band + chunk)
+    loc_valid: jax.Array  # [C+B]
     preint: PreintData  # [C]
     preint_valid: jax.Array
     gnss_p: jax.Array
@@ -227,26 +244,28 @@ class _Shard(NamedTuple):
     reproj_std: jax.Array
 
 
-def _take_local(ba_nodes: NavState, node_valid, c, C):
-    """Local node set [cC-1, (c+1)C) with a dummy at local 0 for c=0."""
-    start = jnp.maximum(c * C - 1, 0)
-    # pad one duplicate row so the C+1 slice fits when C == N (single
+def _take_local(ba_nodes: NavState, node_valid, c, C, B):
+    """Local node set [cC-B, (c+1)C) with dummies at locals 0..B-1 for
+    c=0."""
+    start = jnp.maximum(c * C - B, 0)
+    # pad B duplicate rows so the C+B slice fits when C == N (single
     # chunk); the pad is only reachable in that case, where the c == 0
     # shift below immediately pushes it out again
-    pad1 = lambda x: jnp.concatenate([x, x[-1:]], 0)
+    padB = lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], B, 0)], 0)
     loc = jax.tree.map(
-        lambda x: jax.lax.dynamic_slice_in_dim(pad1(x), start, C + 1, 0),
+        lambda x: jax.lax.dynamic_slice_in_dim(padB(x), start, C + B, 0),
         ba_nodes,
     )
-    val = jax.lax.dynamic_slice_in_dim(pad1(node_valid), start, C + 1, 0)
-    # c == 0: slice starts at 0 (no previous separator) -> shift down one
-    # and invalidate local 0. The dummy row duplicates the first real node
-    # (NOT zeros: a zero quaternion NaNs the factor math before masking).
+    val = jax.lax.dynamic_slice_in_dim(padB(node_valid), start, C + B, 0)
+    # c == 0: slice starts at 0 (no previous band) -> shift down by B and
+    # invalidate locals 0..B-1. The dummy rows duplicate the first real
+    # node (NOT zeros: a zero quaternion NaNs the factor math before
+    # masking).
     def shift(x):
-        return jnp.concatenate([x[:1], x[:-1]], 0)
+        return jnp.concatenate([jnp.repeat(x[:1], B, 0), x[:-B]], 0)
 
     loc0 = jax.tree.map(shift, loc)
-    val0 = shift(val).at[0].set(False)
+    val0 = shift(val).at[:B].set(False)
     is0 = c == 0
     loc = jax.tree.map(lambda a, b: jnp.where(is0, a, b), loc0, loc)
     val = jnp.where(is0, val0, val)
@@ -260,21 +279,27 @@ def _node_i(nodes: NavState, i) -> NavState:
 def _eval_local(sh: _Shard, params: IntegrationParams):
     """Assemble the shard-local damped-ready system:
 
-    returns (H_loc [(C+1)*15, (C+1)*15], g_loc, Hxl [(C+1)*15, Lp],
-    hll [Lp], gl [Lp], cost_local). Landmarks NOT yet eliminated."""
-    Cp1 = sh.loc_valid.shape[0]
-    C = Cp1 - 1
+    returns (H_loc [(C+B)*15, (C+B)*15], g_loc, Hxl [(C+B)*15, Lp],
+    hll [Lp], gl [Lp], cost_local). Landmarks NOT yet eliminated.
+
+    B (the separator band width) is inferred from the shapes: the local
+    node set has C+B nodes while the preintegration slab has C factors."""
+    n_loc = sh.loc_valid.shape[0]
+    C = sh.preint_valid.shape[0]
+    B = n_loc - C
     dtype = sh.loc_nodes.p.dtype
-    D = Cp1 * NODE_DOF
+    D = n_loc * NODE_DOF
 
-    Hnn = jnp.zeros((Cp1, NODE_DOF, Cp1, NODE_DOF), dtype)
-    g_n = jnp.zeros((Cp1, NODE_DOF), dtype)
+    Hnn = jnp.zeros((n_loc, NODE_DOF, n_loc, NODE_DOF), dtype)
+    g_n = jnp.zeros((n_loc, NODE_DOF), dtype)
 
-    # --- preintegration chain: factor f joins local nodes (f, f+1) ---
+    # --- preintegration chain: factor f is the global interval
+    # (cC-1+f, cC+f), i.e. local nodes (B-1+f, B+f) ---
     def pre_one(f):
         pre = jax.tree.map(lambda x: x[f], sh.preint)
         return preint_residual_jac(
-            pre, _node_i(sh.loc_nodes, f), _node_i(sh.loc_nodes, f + 1), params
+            pre, _node_i(sh.loc_nodes, B - 1 + f),
+            _node_i(sh.loc_nodes, B + f), params
         )
 
     r_pre, J_pre = jax.vmap(pre_one)(jnp.arange(C))
@@ -283,15 +308,15 @@ def _eval_local(sh: _Shard, params: IntegrationParams):
     J_pre = jnp.einsum("fij,fjc->fic", Sq, J_pre)
     m_pre = (
         sh.preint_valid
-        & sh.loc_valid[:-1]
-        & sh.loc_valid[1:]
+        & sh.loc_valid[B - 1:B - 1 + C]
+        & sh.loc_valid[B:]
     ).astype(dtype)
     r_pre = r_pre * m_pre[:, None]
     J_pre = J_pre * m_pre[:, None, None]
     Ji = J_pre[..., :NODE_DOF]
     Jj = J_pre[..., NODE_DOF:]
-    Pi = jnp.eye(Cp1, dtype=dtype)[:C]
-    Pj = jnp.eye(Cp1, dtype=dtype)[1:]
+    Pi = jnp.eye(n_loc, dtype=dtype)[B - 1:B - 1 + C]
+    Pj = jnp.eye(n_loc, dtype=dtype)[B:]
     Hnn = Hnn + jnp.einsum("fa,fb,fcd->acbd", Pi, Pi,
                            jnp.einsum("frc,frd->fcd", Ji, Ji))
     Hnn = Hnn + jnp.einsum("fa,fb,fcd->acbd", Pj, Pj,
@@ -303,9 +328,9 @@ def _eval_local(sh: _Shard, params: IntegrationParams):
     g_n = g_n + jnp.einsum("fa,frc,fr->ac", Pj, Jj, r_pre)
     cost = 0.5 * jnp.sum(r_pre**2)
 
-    # --- GNSS on own-chunk nodes (local indices 1..C) ---
+    # --- GNSS on own-chunk nodes (local indices B..B+C-1) ---
     def g_one(k):
-        node = _node_i(sh.loc_nodes, k + 1)
+        node = _node_i(sh.loc_nodes, k + B)
 
         def res(d6):
             p, q = pose_boxplus(node.p, node.q, d6)
@@ -316,16 +341,16 @@ def _eval_local(sh: _Shard, params: IntegrationParams):
         return res(z), jax.jacfwd(res)(z)
 
     r_g, J_g = jax.vmap(g_one)(jnp.arange(C))
-    m_g = (sh.gnss_valid & sh.loc_valid[1:]).astype(dtype)
+    m_g = (sh.gnss_valid & sh.loc_valid[B:]).astype(dtype)
     r_g = r_g * m_g[:, None]
     J_g = J_g * m_g[:, None, None]
     chi_g = jnp.sum(r_g**2, -1)
     w_g = huber_weight(chi_g)
     A_g = w_g[:, None, None] * jnp.einsum("frc,frd->fcd", J_g, J_g)
-    Hnn = Hnn.at[1:, 0:6, 1:, 0:6].add(
+    Hnn = Hnn.at[B:, 0:6, B:, 0:6].add(
         jnp.einsum("ka,kb,kcd->acbd", jnp.eye(C, dtype=dtype),
                    jnp.eye(C, dtype=dtype), A_g))
-    g_n = g_n.at[1:, 0:6].add(w_g[:, None] * jnp.einsum("frc,fr->fc", J_g, r_g))
+    g_n = g_n.at[B:, 0:6].add(w_g[:, None] * jnp.einsum("frc,fr->fc", J_g, r_g))
     cost = cost + 0.5 * jnp.sum(huber_rho(chi_g) * (chi_g > 0))
 
     # --- reprojection factors over the local stencil ---
@@ -373,10 +398,10 @@ def _eval_local(sh: _Shard, params: IntegrationParams):
     wJr = w_v[..., None, None] * Jr
     wJo = w_v[..., None, None] * Jo
     wJl = w_v[..., None] * Jl
-    Oref = (sh.lm_ref_local[:, None] == jnp.arange(Cp1)[None, :]).astype(dtype)
+    Oref = (sh.lm_ref_local[:, None] == jnp.arange(n_loc)[None, :]).astype(dtype)
     Oobs = (
-        sh.obs_node_local[:, :, None] == jnp.arange(Cp1)[None, None, :]
-    ).astype(dtype)  # [Lp,W,Cp1]
+        sh.obs_node_local[:, :, None] == jnp.arange(n_loc)[None, None, :]
+    ).astype(dtype)  # [Lp,W,n_loc]
 
     H_oo = jnp.einsum("lwa,lwb,lwrc,lwrd->acbd", Oobs, Oobs, wJo, Jo)
     H_rr = jnp.einsum("la,lb,lwrc,lwrd->acbd", Oref, Oref, wJr, Jr)
@@ -391,8 +416,8 @@ def _eval_local(sh: _Shard, params: IntegrationParams):
     hll = jnp.einsum("lwr,lwr->l", wJl, Jl)
     H_ln = jnp.einsum("lwr,lwrc,lwa->lac", wJl, Jo, Oobs) + jnp.einsum(
         "lwr,lwrc,la->lac", wJl, Jr, Oref
-    )  # [Lp, Cp1, 6]
-    Hxl = jnp.zeros((Cp1, NODE_DOF, Lp), dtype).at[:, 0:6, :].set(
+    )  # [Lp, n_loc, 6]
+    Hxl = jnp.zeros((n_loc, NODE_DOF, Lp), dtype).at[:, 0:6, :].set(
         H_ln.transpose(1, 2, 0)
     )
     gl = jnp.einsum("lwr,lwr->l", wJl, r_v)
@@ -409,8 +434,8 @@ def _cost_local(sh: _Shard, params: IntegrationParams):
     return cost
 
 
-def _make_shard(ba: NodesBA, c, C) -> _Shard:
-    loc, val = _take_local(ba.nodes, ba.node_valid, c, C)
+def _make_shard(ba: NodesBA, c, C, B) -> _Shard:
+    loc, val = _take_local(ba.nodes, ba.node_valid, c, C, B)
     return _Shard(
         loc_nodes=loc, loc_valid=val,
         preint=ba.preint, preint_valid=ba.preint_valid,
@@ -439,26 +464,30 @@ def _shard_spec(ba: NodesBA) -> NodesBA:
     )
 
 
-@partial(jax.jit, static_argnames=("mesh", "iters"))
+@partial(jax.jit, static_argnames=("mesh", "iters", "sep_width"))
 def ba_nodes_solve(
     ba: NodesBA,
     params: IntegrationParams,
     mesh: Mesh,
     iters: int = 10,
     lam0: float = 1e-4,
+    sep_width: int = 1,
 ):
     """Damped Gauss-Newton (LM accept/reject) over the node-sharded
     problem. Returns (ba_updated, stats dict of (cost0, cost1, accepted)).
+    ``sep_width`` must match the value the problem was built with.
 
     Control flow (damping, accept/reject) is replicated — every device
     sees the same psum-reduced costs, so the loops stay in lockstep."""
     S = ba.n_shards
     C = ba.chunk
     N = ba.n_nodes
+    B = int(sep_width)
     dtype = ba.nodes.p.dtype
-    DL = (C + 1) * NODE_DOF
-    DI = (C - 1) * NODE_DOF  # interior dims (local nodes 1..C-1)
-    DB = S * NODE_DOF  # global separator system
+    BD = B * NODE_DOF  # one separator band's dims
+    DL = (C + B) * NODE_DOF
+    DI = (C - B) * NODE_DOF  # interior dims (local nodes B..C-1)
+    DB = S * BD  # global separator system
 
     def inner(ba_sh: NodesBA):
         c = jax.lax.axis_index(AXIS)
@@ -485,12 +514,13 @@ def ba_nodes_solve(
                 obs_valid=squeeze(ba_sh.obs_valid),
                 reproj_std=ba_sh.reproj_std,
             )
-            return _make_shard(b, c, C)
+            return _make_shard(b, c, C, B)
 
         _nv = ba_sh.node_valid
 
-        # separator bookkeeping: local boundary slots (0, C) map to global
-        # separators (c-1, c); c=0's slot 0 is a dummy
+        # separator bookkeeping: local boundary bands (locals [0,B) and
+        # [C, C+B)) map to global bands (c-1, c); c=0's prev band is a
+        # dummy (one-hot at -1 is all-zero, so it contributes nothing)
         sep_prev = (jnp.arange(S) == c - 1).astype(dtype)  # one-hot [S]
         sep_own = (jnp.arange(S) == c).astype(dtype)
         OH = jnp.stack([sep_prev, sep_own])  # [2, S]
@@ -515,14 +545,23 @@ def ba_nodes_solve(
             H = H * free[:, None] * free[None, :]
             g = g * free
             dH = jnp.diag(H)
-            H = H + jnp.diag(lam * dH + jnp.where(dH < 1e-12, 1.0, 0.0))
+            # unit-regularize empty INTERIOR dims only: a boundary-band
+            # dim can be empty locally yet receive contributions from the
+            # neighboring shard, so its regularization happens AFTER the
+            # psum (on Sg below); a local +1.0 there would bias the
+            # reduced separator system
+            int_mask = jnp.zeros(DL, dtype).at[
+                B * NODE_DOF + jnp.arange(DI)].set(1.0)
+            H = H + jnp.diag(
+                lam * dH + int_mask * jnp.where(dH < 1e-12, 1.0, 0.0))
 
-            # split interior (local 1..C-1) vs boundary (local 0 and C)
+            # split interior (local B..C-1) vs boundary bands (locals
+            # [0,B) and [C,C+B))
             bsel = jnp.concatenate([
-                jnp.arange(NODE_DOF),
-                C * NODE_DOF + jnp.arange(NODE_DOF),
+                jnp.arange(BD),
+                C * NODE_DOF + jnp.arange(BD),
             ])
-            isel = NODE_DOF + jnp.arange(DI)
+            isel = BD + jnp.arange(DI)
             Hii = H[isel[:, None], isel[None, :]]
             Hib = H[isel[:, None], bsel[None, :]]
             Hbb = H[bsel[:, None], bsel[None, :]]
@@ -533,14 +572,14 @@ def ba_nodes_solve(
             Lc = jnp.linalg.cholesky(Hii)
             HiiInvHib = jax.scipy.linalg.cho_solve((Lc, True), Hib)
             HiiInvGi = jax.scipy.linalg.cho_solve((Lc, True), gi)
-            Sbb = Hbb - Hib.T @ HiiInvHib  # [30, 30]
+            Sbb = Hbb - Hib.T @ HiiInvHib  # [2*BD, 2*BD]
             sb = gb - Hib.T @ HiiInvGi
 
             # scatter into the global separator system and psum
-            # (the [2,S] one-hot embeds this shard's two separator slots)
+            # (the [2,S] one-hot embeds this shard's two band slots)
             Sg = jnp.einsum("as,aibj,bt->sitj", OH,
-                            Sbb.reshape(2, NODE_DOF, 2, NODE_DOF), OH)
-            sg = jnp.einsum("as,ai->si", OH, sb.reshape(2, NODE_DOF))
+                            Sbb.reshape(2, BD, 2, BD), OH)
+            sg = jnp.einsum("as,ai->si", OH, sb.reshape(2, BD))
             Sg, sg = jax.lax.psum((Sg.reshape(DB, DB), sg.reshape(DB)), AXIS)
             # dummy separator dims (nothing contributed): unit diagonal
             dS = jnp.diag(Sg)
@@ -551,7 +590,7 @@ def ba_nodes_solve(
 
             # local back-substitution
             dx_b_loc = jnp.einsum("as,si->ai", OH,
-                                  dx_b.reshape(S, NODE_DOF)).reshape(-1)
+                                  dx_b.reshape(S, BD)).reshape(-1)
             dx_i = -HiiInvGi - HiiInvHib @ dx_b_loc
             dx_loc = jnp.zeros(DL, dtype)
             dx_loc = dx_loc.at[isel].set(dx_i)
@@ -560,30 +599,32 @@ def ba_nodes_solve(
             dx_l = -lm_free * (glf + Hxlf.T @ dx_loc) / hll_d
 
             # assemble the global node delta: interiors owned uniquely by
-            # this shard; separators replicated (identical on all shards)
-            dx_nodes = jnp.zeros((N, NODE_DOF), dtype)
-            start = jnp.maximum(c * C - 1, 0)
-            dxm = dx_loc.reshape(C + 1, NODE_DOF)
-            dxm = jnp.where(c == 0,
-                            jnp.concatenate([dxm[1:], jnp.zeros_like(dxm[:1])]),
-                            dxm)
+            # this shard; separator bands replicated (identical everywhere)
+            start = jnp.maximum(c * C - B, 0)
+            dxm = dx_loc.reshape(C + B, NODE_DOF)
+            dxm = jnp.where(
+                c == 0,
+                jnp.concatenate([dxm[B:], jnp.zeros_like(dxm[:B])]),
+                dxm)
             # ownership mask over dxm rows: each interior node is owned by
-            # exactly one shard. c>0: local rows 1..C-1 (global cC..
-            # (c+1)C-2). c=0: after the dummy shift dxm row j is global
-            # node j, interiors are rows 0..C-2.
-            own = jnp.zeros((C + 1,), dtype).at[1:C].set(1.0)
-            own0 = jnp.zeros((C + 1,), dtype).at[0:C - 1].set(1.0)
+            # exactly one shard. c>0: local rows B..C-1 (global cC..
+            # (c+1)C-B-1). c=0: after the dummy shift dxm row j is global
+            # node j, interiors are rows 0..C-B-1.
+            own = jnp.zeros((C + B,), dtype).at[B:C].set(1.0)
+            own0 = jnp.zeros((C + B,), dtype).at[0:C - B].set(1.0)
             own = jnp.where(c == 0, own0, own)
             dx_int = jax.lax.psum(
                 jnp.zeros((N, NODE_DOF), dtype).at[
-                    start + jnp.arange(C + 1)
+                    start + jnp.arange(C + B)
                 ].add(dxm * own[:, None]),
                 AXIS,
             )
-            # separators: global separator s sits at node (s+1)*C - 1
-            sep_nodes = (jnp.arange(S) + 1) * C - 1
+            # separator band s sits at nodes (s+1)C-B .. (s+1)C-1
+            sep_nodes = (
+                ((jnp.arange(S) + 1) * C - B)[:, None] + jnp.arange(B)[None]
+            ).reshape(-1)
             dx_nodes = dx_int.at[sep_nodes].set(
-                dx_b.reshape(S, NODE_DOF))
+                dx_b.reshape(S * B, NODE_DOF))
             return dx_nodes, dx_l, cost
 
         def total_cost(nodes, lm_invd):

@@ -112,3 +112,39 @@ def test_zero_velocity_detector():
     imu_m = sim.simulate_imu(moving, params, 0.0, 2.0, 200.0)
     is_zv_m, _ = mech.detect_zero_velocity(imu_m.dtheta[1:], imu_m.dvel[1:], 200.0)
     assert not bool(is_zv_m)
+
+
+def test_host_predict_matches_device_scan():
+    """The host (numpy f64) per-frame prediction mirror must match the
+    device mechanization scan over a ~1 s horizon (the newest-node age the
+    prediction path ever spans) — VERDICT r4 #4's zero-dispatch frame
+    path must not change the predicted poses."""
+    from ic_gvins_tpu.data import simulator as sim
+    from ic_gvins_tpu.engine.estimator import _np_mechanize_series
+
+    params = sim.default_params(with_earth=True)
+    traj = sim.car_trajectory()
+    t0, dur, rate = 5.0, 1.0, 100.0
+    imu = sim.simulate_imu(traj, params, t0, dur, rate)
+    bg = jnp.array([2e-4, -1e-4, 3e-4])
+    ba = jnp.array([5e-3, -8e-3, 2e-3])
+    imu = sim.corrupt_imu(imu, params, jax.random.PRNGKey(3), bg, ba)
+    s0 = sim.truth_state(traj, params, jnp.asarray(t0))
+    s0 = s0._replace(bg=bg, ba=ba)
+
+    states = mech.mechanize_scan(params, s0, imu)
+    p_dev = np.asarray(states.p[-1])
+    q_dev = np.asarray(states.q[-1])
+    v_dev = np.asarray(states.v[-1])
+
+    p, q, v = _np_mechanize_series(
+        np.asarray(params.gravity, np.float64),
+        np.asarray(params.iewn, np.float64),
+        np.asarray(s0.p, np.float64), np.asarray(s0.q, np.float64),
+        np.asarray(s0.v, np.float64),
+        np.asarray(bg, np.float64), np.asarray(ba, np.float64),
+        np.asarray(imu.dt), np.asarray(imu.dtheta), np.asarray(imu.dvel))
+
+    assert np.abs(p - p_dev).max() < 1e-8
+    assert np.abs(v - v_dev).max() < 1e-8
+    assert min(np.abs(q - q_dev).max(), np.abs(q + q_dev).max()) < 1e-10

@@ -54,6 +54,10 @@ def build_parser():
                     help="GINS-only endurance (no camera)")
     ap.add_argument("--f32", action="store_true",
                     help="run the engine in float32 (TPU numeric mode)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the engine on the real TPU chip (implies "
+                         "--f32 numerics; the CPU keeps only host "
+                         "bookkeeping + rendering)")
     ap.add_argument("--features", type=int, default=120)
     ap.add_argument("--max-landmarks", type=int, default=160)
     ap.add_argument("--iters", type=int, default=12)
@@ -144,7 +148,10 @@ def generate(args):
 def replay(args):
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.tpu:
+        args.f32 = True  # the TPU path IS the f32 path
+    else:
+        jax.config.update("jax_platforms", "cpu")
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
     import numpy as np
@@ -168,7 +175,8 @@ def replay(args):
             q_b_c=tuple(d["ext_q"]), t_b_c=(0.0, 0.0, 0.0),
         ),
     )
-    pipe = Pipeline(cfg, use_pallas=False, use_clahe=False)
+    pipe = Pipeline(cfg, use_pallas=None if args.tpu else False,
+                    use_clahe=False)
     est = pipe.est
 
     imu_t, imu_dt = d["imu_time"], d["imu_dt"]
@@ -269,7 +277,7 @@ def replay(args):
     in_out = np.array([any(a - 2 <= t <= b + 30 for a, b in outages)
                        for t in ts])
     result = dict(
-        mode="f32" if args.f32 else "f64",
+        mode=("f32-tpu" if args.tpu else "f32" if args.f32 else "f64"),
         duration_s=args.duration,
         route_length_m=float(d["route_length"]),
         ate_rmse_m=float(np.sqrt(np.mean(errs**2))) if errs.size else None,
