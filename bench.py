@@ -48,11 +48,20 @@ PEAK_FLOPS_F32 = 98.5e12
 PEAK_HBM_GBS = 819.0
 
 
-def _time(fn, *args, reps=7):
-    """Measurement discipline (VERDICT r3 weak #3): k individually-timed
-    repetitions after one warm-up dispatch; the reported stage time is the
-    MEDIAN (host-noise robust), with min and coefficient of variation kept
-    so a ~10% regression is distinguishable from environment noise."""
+def _time(fn, *args, reps=7, pipe_reps=10):
+    """Two measurements per stage (the r3->r4 '2x regression' was exactly
+    the difference between them — BENCH_NOTES round 5):
+
+    * PIPELINED (headline): ``pipe_reps`` async dispatches, ONE sync,
+      /reps — the device-throughput cost of the stage as a production
+      pipeline pays it (back-to-back programs, dispatch overlapped with
+      execution). This is the r1-r3 discipline.
+    * SYNCED: individually block_until_ready'd repetitions (median/min/
+      cv) — per-dispatch LATENCY. On a host-attached chip it matches the
+      pipelined number to ~us; over this image's tunneled chip it adds
+      the full ~20 ms RTT to every stage (the r4 numbers), which is a
+      property of the tunnel, not of the kernels.
+    """
     out = fn(*args)
     jax.block_until_ready(jax.tree.leaves(out)[0])
     ts = []
@@ -62,12 +71,32 @@ def _time(fn, *args, reps=7):
         jax.block_until_ready(jax.tree.leaves(out)[0])
         ts.append(time.perf_counter() - t0)
     ts = np.asarray(ts)
+    t0 = time.perf_counter()
+    for _ in range(pipe_reps):
+        out = fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    t_pipe = (time.perf_counter() - t0) / pipe_reps
     stats = {
-        "median_ms": round(float(np.median(ts)) * 1e3, 2),
-        "min_ms": round(float(ts.min()) * 1e3, 2),
+        "pipelined_ms": round(t_pipe * 1e3, 2),
+        "synced_median_ms": round(float(np.median(ts)) * 1e3, 2),
+        "synced_min_ms": round(float(ts.min()) * 1e3, 2),
         "cv": round(float(ts.std() / max(ts.mean(), 1e-12)), 3),
     }
-    return float(np.median(ts)), out, stats
+    return t_pipe, out, stats
+
+
+def _measure_rtt(dev):
+    """Median dispatch+sync round-trip of a no-op-sized program: the
+    per-dispatch latency floor (tunnel RTT on this image)."""
+    x = jax.device_put(np.zeros(8, np.float32), dev)
+    f = jax.jit(lambda v: v + 1.0)
+    jax.block_until_ready(f(x))
+    ts = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def _cost_analysis(fn, *args):
@@ -351,6 +380,9 @@ def main():
 
     stage_stats = {}
     roofline = {}
+    rtt_s = _measure_rtt(dev)
+    print(f"# dispatch RTT (no-op program, median): {rtt_s*1e3:.1f} ms",
+          file=_sys.stderr, flush=True)
 
     def _stage(name, fn, *args):
         t0 = _t.perf_counter()
@@ -360,8 +392,9 @@ def main():
         rf = _roofline(name, t, fl, by)
         if rf:
             roofline[name] = rf
-        print(f"# stage {name}: {t*1e3:.1f} ms median "
-              f"(min {stats['min_ms']} cv {stats['cv']}) {rf} "
+        print(f"# stage {name}: {t*1e3:.1f} ms pipelined "
+              f"(synced median {stats['synced_median_ms']} "
+              f"min {stats['synced_min_ms']} cv {stats['cv']}) {rf} "
               f"(compile+reps {_t.perf_counter()-t0:.1f} s)",
               file=_sys.stderr, flush=True)
         return t, out
@@ -403,10 +436,11 @@ def main():
     # the honest end-to-end number VERDICT r2 asked for. Steady-state rate:
     # the first frames pay compile and are excluded. ---
     live = {}
-    try:
-        live = _live_pipeline_fps()
-    except Exception as e:  # keep the headline bench alive
-        print(f"# live pipeline bench failed: {e!r}", file=_sys.stderr)
+    if not _os.environ.get("BENCH_STAGES_ONLY"):
+        try:
+            live = _live_pipeline_fps()
+        except Exception as e:  # keep the headline bench alive
+            print(f"# live pipeline bench failed: {e!r}", file=_sys.stderr)
 
     frames_per_s = BATCH / t_full
     kernel_fps = BATCH / t_kernel
@@ -446,10 +480,13 @@ def main():
                     "optimize": round(t_opt * 1e3, 2),
                     "marginalize": round(t_marg * 1e3, 2),
                 },
-                "aggregation": ("stage times are the MEDIAN of 7 "
-                                "individually-timed device dispatches after "
-                                "one warm-up; per-stage min/cv in "
-                                "stage_stats"),
+                "aggregation": (
+                    "stage times are PIPELINED device throughput (10 async "
+                    "dispatches, one sync, /10 — the production back-to-"
+                    "back cost); per-stage individually-synced latency "
+                    "(median/min/cv, includes the full per-dispatch RTT "
+                    "below) in stage_stats"),
+                "dispatch_rtt_ms": round(rtt_s * 1e3, 2),
                 "stage_stats": stage_stats,
                 # XLA cost-analysis roofline vs v5e peaks (197 TF bf16 /
                 # ~98.5 TF f32 MXU, 819 GB/s HBM): what fraction of the
