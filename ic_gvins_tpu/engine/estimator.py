@@ -55,6 +55,23 @@ _preintegrate_odo_jit = None  # lazily jitted (odometer configs only)
 _mechanize_jit = jax.jit(mech.mechanize_scan)
 
 
+# Jitted marginalization round: the eager evaluation (full H assembly +
+# Schur + slide, op-by-op) measured 7.9 s/call on CPU in the round-5
+# profile — 50% of the replay wall; one compiled program runs in ms.
+_marg_slide_jit = jax.jit(marginalize_and_slide)
+
+
+@jax.jit
+def _reproj_err_jit(window, cfg):
+    """Masked reprojection residuals + obs mask for the per-round
+    statistics/outlier-culling path. One compiled program: the previous
+    eager evaluation (with discarded jacfwd Jacobians) was 42% of the
+    whole CPU replay wall (round-5 profile)."""
+    from ..solver.assembly import eval_reproj_res, obs_mask
+
+    return eval_reproj_res(window, cfg), obs_mask(window)
+
+
 def _bucket(n: int, step: int = 256) -> int:
     """Round a dynamic length up to a bucket so jitted programs are reused
     (bounded number of compiled shapes)."""
@@ -1313,10 +1330,8 @@ class Estimator:
         # (statistics.txt columns, ic_gvins.cc:964-1067: reprojection
         # error min/max/mean/rms in pixels, iterations, time costs,
         # outlier counts)
-        from ..solver.assembly import eval_reproj, obs_mask
-
-        r_v, _ = eval_reproj(self.window, self.solver_cfg)
-        m = np.asarray(obs_mask(self.window))
+        r_v, m_d = _reproj_err_jit(self.window, self.solver_cfg)
+        m = np.asarray(m_d)
         focal = 0.5 * (self.cfg.cam.intrinsic[0] + self.cfg.cam.intrinsic[1])
         px_err = (
             np.linalg.norm(np.asarray(r_v), axis=-1)
@@ -1347,10 +1362,17 @@ class Estimator:
                 outlier_features=n_out_feat,
                 n_nodes=self.n_nodes,
                 timecost_ms=round(t_opt * 1e3, 2),
+                # marginalization wall accumulated since the previous row
+                # (the reference's third timecost column,
+                # ic_gvins.cc:1054-1056; slides follow the round, so the
+                # cost lands on the NEXT row — off-by-one documented)
+                timecost_marg_ms=round(
+                    getattr(self, "_t_marg_accum", 0.0) * 1e3, 2),
                 imu_repaired=self.imu_repaired,
                 dropped_gnss=self.dropped_gnss,
             )
         )
+        self._t_marg_accum = 0.0
         self._maybe_reintegrate()
         # refresh mechanization origin from the newest optimized node
         self.last_node_state = self.window.nodes.index(self.n_nodes - 1)
@@ -1537,6 +1559,9 @@ class Estimator:
             )
 
     def _marginalize_oldest(self):
+        import time as _time
+
+        t0 = _time.perf_counter()
         dead_slots = [
             s for fid, s in self.lm_slot.items()
             if int(self.window.lm_ref[s]) == 0 and bool(self.window.lm_valid[s])
@@ -1548,9 +1573,9 @@ class Estimator:
         mode = self.cfg.marg_prior_mode
         if mode == "full":
             # reference-parity accumulating marginalization
-            self.window, self.prior = marginalize_and_slide(
+            self.window, self.prior = _marg_slide_jit(
                 self.window, self.prior, self.solver_cfg, self.params,
-                forgetting=self.cfg.prior_forgetting,
+                jnp.asarray(self.cfg.prior_forgetting),
             )
         else:
             # slide only; then (optionally) re-anchor with bounded info —
@@ -1602,6 +1627,14 @@ class Estimator:
         # new window head (the reference re-derives omega_ie^n from position
         # at every preintegration reset, preintegration_earth.cc:305-324)
         self._refresh_earth_params(np.asarray(self.window.nodes.p[0]))
+        # per-phase timecost parity (ic_gvins.cc:1054-1056 records
+        # optimize#1/#2 and marginalization separately; VERDICT r4 #8):
+        # accumulate the slide cost, attached to the round's stats row
+        jax.block_until_ready(self.prior.H)
+        self._t_marg_accum = (
+            getattr(self, "_t_marg_accum", 0.0)
+            + (_time.perf_counter() - t0)
+        )
 
     def _save_fixed_mappoints(self, slots):
         """Record the world positions of landmarks leaving the window —

@@ -276,6 +276,22 @@ def eval_reproj(window: Window, cfg: SolverConfig):
     return r * m[..., None], J * m[..., None, None]
 
 
+def eval_reproj_res(window: Window, cfg: SolverConfig):
+    """Masked reprojection residuals only [L,N,2] — no Jacobians. The
+    per-round statistics/culling path needs just the pixel errors;
+    evaluating the 20-tangent jacfwd there (and eagerly) was measured as
+    42% of the CPU replay wall (round-5 profile)."""
+    L, N = window.obs_valid.shape
+    z = jnp.zeros(20, window.nodes.p.dtype)
+    r = jax.vmap(
+        jax.vmap(lambda l, k: _reproj_res(window, cfg, l, k, z),
+                 in_axes=(None, 0)),
+        in_axes=(0, None),
+    )(jnp.arange(L), jnp.arange(N))
+    m = obs_mask(window).astype(r.dtype)
+    return r * m[..., None]
+
+
 def eval_bias_prior(window: Window, cfg: SolverConfig):
     k = newest_node_index(window)
     z = jnp.zeros(NODE_DOF, window.nodes.p.dtype)
