@@ -200,6 +200,7 @@ def _live_pipeline_fps(duration=60.0, frame_rate=10.0, warmup_frames=20,
     gt = np.asarray(gnss.time)
     n_timed = 0
     wall = 0.0
+    kf_walls, plain_walls = [], []
     t_leg0 = _t.perf_counter()
     for k in range(imu.n):
         if _t.perf_counter() - t_leg0 > max_wall_s and n_timed >= 15:
@@ -214,12 +215,15 @@ def _live_pipeline_fps(duration=60.0, frame_rate=10.0, warmup_frames=20,
                           np.asarray(gnss.std[gi]))
             gi += 1
         while fi < len(ftimes) and ftimes[fi] <= t:
+            n_kf0 = len(pipe.est.track_log)
             t0 = _t.perf_counter()
             pipe.add_image(float(ftimes[fi]), frames[fi])
             dt_f = _t.perf_counter() - t0
             if fi >= warmup_frames:
                 wall += dt_f
                 n_timed += 1
+                (kf_walls if len(pipe.est.track_log) > n_kf0
+                 else plain_walls).append(dt_f)
             fi += 1
     if n_timed == 0:
         return {}
@@ -234,6 +238,11 @@ def _live_pipeline_fps(duration=60.0, frame_rate=10.0, warmup_frames=20,
         "live_pipeline_frames": n_timed,
         "live_pipeline_sim_s": round(duration, 1),
         "live_pipeline_keyframes": total_kf,
+        "live_frame_ms_keyframe": (
+            round(float(np.mean(kf_walls)) * 1e3, 1) if kf_walls else None),
+        "live_frame_ms_plain": (
+            round(float(np.mean(plain_walls)) * 1e3, 1)
+            if plain_walls else None),
         "live_pipeline_note": (
             "real Pipeline.add_image steady-state rate incl. host "
             "bookkeeping; tunneled-chip dispatch RTT included (lower bound)"
