@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import os as _os
-BATCH = int(_os.environ.get("BENCH_BATCH", "8"))
+BATCH = int(_os.environ.get("BENCH_BATCH", "32"))  # knee of the batch-scaling curve (BENCH_NOTES r5)
 N_NODES = 12
 N_LANDMARKS = 192
 ITERS = 20
