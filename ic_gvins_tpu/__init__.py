@@ -14,3 +14,23 @@ XLA/Pallas programs. Multi-chip scaling shards landmark blocks over a
 """
 
 __version__ = "0.1.0"
+
+# On TPU, jnp matmuls/einsums default to bf16 inputs (one MXU pass).
+# The estimator's normal-equation assembly, Schur elimination and
+# preintegration compositions are f32 CONDITIONING-critical: with bf16
+# inputs the urban endurance replay diverges inside the first minute
+# (measured r5: 35 m error / 9 emergency recenters by t=60 s on chip,
+# while the same f32 code on CPU — full f32 matmuls — holds 0.1 m).
+# HIGHEST runs f32 matmuls in 6 MXU passes; the engine's programs are
+# latency-bound at production sizes (BENCH_NOTES r5 roofline: ~0% MXU),
+# so the correctness fix costs no wall time there. Exportable knob:
+# IC_GVINS_MATMUL_PRECISION=default restores the raw-speed behavior for
+# kernels known to tolerate it (benchmarking, preprocessing experiments).
+import os as _os
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("IC_GVINS_MATMUL_PRECISION", "highest"),
+)

@@ -92,6 +92,12 @@ class EngineConfig:
     # cannot keep the estimator GINS-only forever.
     vio_join_require_steady: bool = True
     vio_join_max_wait_rounds: int = 10
+    # Measure optimize#1 / optimize#2 wall separately (reference records
+    # three solver timecost columns, ic_gvins.cc:1054-1056). Off by
+    # default: the split runs the two phases as two programs with a host
+    # sync between them, which costs a dispatch round-trip per round —
+    # the production path keeps both phases fused in ONE program.
+    stat_phase_split: bool = False
     # Per-frame INS pose prediction on the host (f64 numpy mirror of the
     # mechanization scan) instead of a device dispatch per camera frame:
     # over a tunneled chip the dispatch RTT alone exceeds the whole

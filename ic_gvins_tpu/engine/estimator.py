@@ -1308,6 +1308,7 @@ class Estimator:
                     self.cfg.optimize_estimate_td and gate
                 ),
             )
+        t_opt1 = t_opt2 = None
         t0 = _time.perf_counter()
         if self.mesh is not None:
             from ..parallel.lm_sharded import optimize_sharded
@@ -1318,6 +1319,23 @@ class Estimator:
                 iters=(30 if warming_up else self.cfg.optimize_num_iterations),
                 do_cull=not warming_up,
             )
+        elif self.cfg.stat_phase_split and not warming_up:
+            # opt-in observability mode (VERDICT r4 #8): the two phases as
+            # two synced programs so optimize#1/#2 wall is MEASURED like
+            # the reference's separate timecost columns
+            # (ic_gvins.cc:1054-1056). Costs one extra host sync/round.
+            it = self.cfg.optimize_num_iterations
+            self.window, s1p, ncull_p = lm_mod.optimize_phase1(
+                self.window, self.prior, cfg_round, self.params, iters=it
+            )
+            jax.block_until_ready(self.window.nodes.p)
+            t_opt1 = _time.perf_counter() - t0
+            self.window, s2p = lm_mod.optimize_phase2(
+                self.window, self.prior, cfg_round, self.params, iters=it
+            )
+            jax.block_until_ready(self.window.nodes.p)
+            t_opt2 = _time.perf_counter() - t0 - t_opt1
+            stats = (s1p, s2p, ncull_p)
         else:
             self.window, stats = lm_mod.optimize(
                 self.window, self.prior, cfg_round, self.params,
@@ -1325,6 +1343,8 @@ class Estimator:
                 do_cull=not warming_up,
             )
         t_opt = _time.perf_counter() - t0
+        if self.cfg.stat_phase_split and t_opt1 is None:
+            t_opt1, t_opt2 = t_opt, 0.0  # warm-up / sharded rounds: unsplit
         s1, s2, ncull = stats
         # per-keyframe statistics with reference parity
         # (statistics.txt columns, ic_gvins.cc:964-1067: reprojection
@@ -1370,6 +1390,18 @@ class Estimator:
                     getattr(self, "_t_marg_accum", 0.0) * 1e3, 2),
                 imu_repaired=self.imu_repaired,
                 dropped_gnss=self.dropped_gnss,
+                # measured per-phase split (reference's separate optimize#1
+                # / optimize#2 columns) only in the opt-in sync mode; keys
+                # must be present on EVERY row or none (the statistics.txt
+                # header is fixed by the first row)
+                **(
+                    dict(
+                        timecost_opt1_ms=round(t_opt1 * 1e3, 2),
+                        timecost_opt2_ms=round(t_opt2 * 1e3, 2),
+                    )
+                    if self.cfg.stat_phase_split
+                    else {}
+                ),
             )
         )
         self._t_marg_accum = 0.0

@@ -77,6 +77,8 @@ def main(argv=None):
     import jax
 
     if args.platform == "cpu":
+        from ic_gvins_tpu.common.compile_cache import enable_compile_cache
+        enable_compile_cache()
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", not args.f32)
 

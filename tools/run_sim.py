@@ -59,6 +59,8 @@ def main():
     # The env's sitecustomize pins jax_platforms at interpreter startup, so
     # JAX_PLATFORMS alone is not enough — force the config key directly.
     if args.platform == "cpu":
+        from ic_gvins_tpu.common.compile_cache import enable_compile_cache
+        enable_compile_cache()
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", not args.f32)
 

@@ -148,6 +148,9 @@ def generate(args):
 def replay(args):
     import jax
 
+    from ic_gvins_tpu.common.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     if args.tpu:
         args.f32 = True  # the TPU path IS the f32 path
     else:
@@ -215,6 +218,62 @@ def replay(args):
     t_report = 30.0
     n_frames = len(frame_times) if not args.no_vision else 0
 
+    # metrics writer: called periodically DURING the run (partial=True) so a
+    # timed-out / killed replay still leaves a committable result (the round-4
+    # failure mode was empty artifact dirs), and once at the end
+    def _finalize(partial: bool = False):
+        times, ps, _ = est.trajectory()
+        mask = times >= 10.0
+        errs = np.linalg.norm(ps[mask] - truth_at(times[mask]), axis=1)
+        ts = times[mask]
+        wall = time.time() - wall0
+        Hp = np.asarray(est.prior.H, np.float64)
+        wsp = np.linalg.eigvalsh(0.5 * (Hp + Hp.T))
+        nz = wsp[wsp > 1e-6]
+        # outage vs clean split
+        in_out = np.array([any(a - 2 <= t <= b + 30 for a, b in outages)
+                           for t in ts])
+        result = dict(
+            mode=("f32-tpu" if args.tpu else "f32" if args.f32 else "f64"),
+            partial=bool(partial),
+            sim_t_reached=float(ts[-1]) if ts.size else 0.0,
+            duration_s=args.duration,
+            route_length_m=float(d["route_length"]),
+            ate_rmse_m=float(np.sqrt(np.mean(errs**2))) if errs.size else None,
+            ate_max_m=float(errs.max()) if errs.size else None,
+            ate_p99_m=float(np.percentile(errs, 99)) if errs.size else None,
+            ate_rmse_clean_m=float(np.sqrt(np.mean(errs[~in_out] ** 2)))
+            if (~in_out).any() else None,
+            ate_max_outage_m=(float(errs[in_out].max())
+                              if in_out.any() else None),
+            n_keyframes=est.n_keyframes,
+            n_landmark_slots_used=len(est.lm_slot),
+            n_recenters=est.n_recenters,
+            n_gnss=gnss_count, n_gnss_dropped_outage=dropped,
+            outages=outages, gnss_std=args.gnss_std,
+            wall_s=wall, frames=len(frame_walls),
+            frame_wall_mean_ms=(float(np.mean(frame_walls)) * 1e3
+                                if frame_walls else None),
+            prior_eig_max=float(nz.max()) if nz.size else 0.0,
+            prior_eig_min=float(nz.min()) if nz.size else 0.0,
+            prior_rank=int(nz.size),
+            prior_spectra=prior_spectra[::4],
+            progress=progress,
+            config=dict(features=args.features, iters=args.iters,
+                        max_landmarks=args.max_landmarks, seed=args.seed,
+                        imu_rate=args.imu_rate,
+                        frame_rate=args.frame_rate),
+        )
+        with open(os.path.join(args.out, "result.json"), "w") as f:
+            json.dump(result, f, indent=1)
+        np.savez(os.path.join(args.out, "trajectory.npz"),
+                 times=ts, errs=errs, est_p=ps, est_t=times)
+        if not partial:
+            print(json.dumps({k: v for k, v in result.items()
+                              if k not in ("progress", "prior_spectra")},
+                             indent=1), flush=True)
+
+
     for k in range(len(imu_t)):
         if imu_dt[k] == 0.0:
             continue
@@ -263,53 +322,9 @@ def replay(args):
         if t >= next_ckpt:
             est.save_checkpoint(os.path.join(args.out, "ckpt.npz"))
             next_ckpt += args.checkpoint_every
+            _finalize(partial=True)  # rolling result.json (timeout-safe)
 
-    # final metrics
-    times, ps, _ = est.trajectory()
-    mask = times >= 10.0
-    errs = np.linalg.norm(ps[mask] - truth_at(times[mask]), axis=1)
-    ts = times[mask]
-    wall = time.time() - wall0
-    Hp = np.asarray(est.prior.H, np.float64)
-    wsp = np.linalg.eigvalsh(0.5 * (Hp + Hp.T))
-    nz = wsp[wsp > 1e-6]
-    # outage vs clean split
-    in_out = np.array([any(a - 2 <= t <= b + 30 for a, b in outages)
-                       for t in ts])
-    result = dict(
-        mode=("f32-tpu" if args.tpu else "f32" if args.f32 else "f64"),
-        duration_s=args.duration,
-        route_length_m=float(d["route_length"]),
-        ate_rmse_m=float(np.sqrt(np.mean(errs**2))) if errs.size else None,
-        ate_max_m=float(errs.max()) if errs.size else None,
-        ate_p99_m=float(np.percentile(errs, 99)) if errs.size else None,
-        ate_rmse_clean_m=float(np.sqrt(np.mean(errs[~in_out] ** 2)))
-        if (~in_out).any() else None,
-        ate_max_outage_m=float(errs[in_out].max()) if in_out.any() else None,
-        n_keyframes=est.n_keyframes,
-        n_landmark_slots_used=len(est.lm_slot),
-        n_recenters=est.n_recenters,
-        n_gnss=gnss_count, n_gnss_dropped_outage=dropped,
-        outages=outages, gnss_std=args.gnss_std,
-        wall_s=wall, frames=len(frame_walls),
-        frame_wall_mean_ms=(float(np.mean(frame_walls)) * 1e3
-                            if frame_walls else None),
-        prior_eig_max=float(nz.max()) if nz.size else 0.0,
-        prior_eig_min=float(nz.min()) if nz.size else 0.0,
-        prior_rank=int(nz.size),
-        prior_spectra=prior_spectra[::4],
-        progress=progress,
-        config=dict(features=args.features, iters=args.iters,
-                    max_landmarks=args.max_landmarks, seed=args.seed,
-                    imu_rate=args.imu_rate, frame_rate=args.frame_rate),
-    )
-    with open(os.path.join(args.out, "result.json"), "w") as f:
-        json.dump(result, f, indent=1)
-    np.savez(os.path.join(args.out, "trajectory.npz"),
-             times=ts, errs=errs, est_p=ps, est_t=times)
-    print(json.dumps({k: v for k, v in result.items()
-                      if k not in ("progress", "prior_spectra")}, indent=1),
-          flush=True)
+    _finalize(partial=False)
 
 
 def main():
