@@ -11,22 +11,32 @@ from __future__ import annotations
 import os
 
 
-def enable_compile_cache(path: str | None = None) -> str:
+def enable_compile_cache(path: str | None = None, tag: str = "cpu") -> str:
     """Point JAX's persistent compilation cache at ``path`` (default:
-    ``<repo>/.jax_cache`` or ``$IC_GVINS_CACHE``). Safe to call more than
-    once; returns the directory used."""
+    ``<repo>/.jax_cache/<tag>`` or ``$IC_GVINS_CACHE/<tag>``). Safe to
+    call more than once; returns the directory used.
+
+    ``tag`` partitions the cache by process flavor: XLA:CPU AOT artifacts
+    bake in target "features" that differ between a pure-CPU process and
+    one with the TPU plugin initialized (the plugin adds
+    ``+prefer-no-gather/scatter``); cross-loading triggers the loader's
+    machine-mismatch path (warns, can SIGILL — the segfault previous
+    rounds observed). One directory per flavor keeps every load exact."""
     import jax
 
     if os.environ.get("IC_GVINS_NO_CACHE"):
         return ""
     if path is None:
-        path = os.environ.get(
-            "IC_GVINS_CACHE",
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)))),
-                ".jax_cache",
+        path = os.path.join(
+            os.environ.get(
+                "IC_GVINS_CACHE",
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__)))),
+                    ".jax_cache",
+                ),
             ),
+            tag,
         )
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -58,6 +58,9 @@ def build_parser():
                     help="run the engine on the real TPU chip (implies "
                          "--f32 numerics; the CPU keeps only host "
                          "bookkeeping + rendering)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="TPU arm only: use the XLA tracking path instead "
+                         "of the Pallas KLT kernel (numerics A/B)")
     ap.add_argument("--features", type=int, default=120)
     ap.add_argument("--max-landmarks", type=int, default=160)
     ap.add_argument("--iters", type=int, default=12)
@@ -150,7 +153,7 @@ def replay(args):
 
     from ic_gvins_tpu.common.compile_cache import enable_compile_cache
 
-    enable_compile_cache()
+    enable_compile_cache(tag="tpu" if args.tpu else "cpu")
     if args.tpu:
         args.f32 = True  # the TPU path IS the f32 path
     else:
@@ -178,8 +181,11 @@ def replay(args):
             q_b_c=tuple(d["ext_q"]), t_b_c=(0.0, 0.0, 0.0),
         ),
     )
-    pipe = Pipeline(cfg, use_pallas=None if args.tpu else False,
-                    use_clahe=False)
+    pipe = Pipeline(
+        cfg,
+        use_pallas=False if (args.no_pallas or not args.tpu) else None,
+        use_clahe=False,
+    )
     est = pipe.est
 
     imu_t, imu_dt = d["imu_time"], d["imu_dt"]
