@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--no-vision", action="store_true")
     ap.add_argument("--sensors", default="runs/urban_full/sensors.npz")
     ap.add_argument("--out", default="/tmp/f32dbg.json")
+    ap.add_argument("--recenter", type=float, default=None,
+                    help="override recenter_threshold (0 disables; default "
+                         "keeps the engine's f32 default of 20 m)")
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--gnss-until", type=float, default=1e9,
+                    help="drop GNSS after this time (outage diagnostic)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +50,7 @@ def main():
     INTR = (240.0, 240.0, 160.0, 120.0)
     d = np.load(args.sensors)
     cfg = EngineConfig(
-        optimize_num_iterations=12,
+        optimize_num_iterations=args.iters,
         max_nodes=20,
         max_landmarks=160,
         optimize_windows_size=8,
@@ -56,6 +62,8 @@ def main():
             intrinsic=INTR, distortion=(0.0, 0.0, 0.0, 0.0), resolution=RES,
             q_b_c=tuple(d["ext_q"]), t_b_c=(0.0, 0.0, 0.0),
         ),
+        **({} if args.recenter is None
+           else dict(recenter_threshold=args.recenter)),
     )
     pipe = Pipeline(cfg, use_pallas=False, use_clahe=False)
     est = pipe.est
@@ -92,7 +100,8 @@ def main():
             break
         pipe.add_imu(t, float(imu_dt[k]), imu_dth[k], imu_dv[k])
         while gi < len(g_t) and g_t[gi] <= t:
-            pipe.add_gnss(float(g_t[gi]), g_p[gi], g_s[gi])
+            if g_t[gi] <= args.gnss_until:
+                pipe.add_gnss(float(g_t[gi]), g_p[gi], g_s[gi])
             gi += 1
         while fi < n_frames and frame_times[fi] <= t:
             pipe.add_image(float(frame_times[fi]), render(fi))
