@@ -21,9 +21,10 @@ __version__ = "0.1.0"
 # inputs the urban endurance replay diverges inside the first minute
 # (measured r5: 35 m error / 9 emergency recenters by t=60 s on chip,
 # while the same f32 code on CPU — full f32 matmuls — holds 0.1 m).
-# HIGHEST runs f32 matmuls in 6 MXU passes; the engine's programs are
-# latency-bound at production sizes (BENCH_NOTES r5 roofline: ~0% MXU),
-# so the correctness fix costs no wall time there. Exportable knob:
+# HIGHEST runs f32 matmuls in 6 MXU passes; measured cost at batch 32:
+# ~20% of full-round throughput (143.8 -> 115.6 frames/s/chip, optimize
+# 90.6 -> 141.7 ms — the solver stages are the matmul-heavy ones), the
+# price of a correct f32 solver on this hardware. Exportable knob:
 # IC_GVINS_MATMUL_PRECISION=default restores the raw-speed behavior for
 # kernels known to tolerate it (benchmarking, preprocessing experiments).
 import os as _os
